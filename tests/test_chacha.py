@@ -1,0 +1,66 @@
+"""ChaCha20 kernel parity: RFC-style vectors + live `cryptography` output
+(SURVEY.md §4 "unit tests")."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gswm.core import chacha
+
+
+def test_nonce_layout_counter_then_nonce():
+    # The 16-byte nonce is initial-counter(8B LE) || nonce(8B): advancing the
+    # counter by 1 must equal skipping one 64-byte block.
+    key = bytes(range(32))
+    nonce = bytes(16)
+    ks = chacha.chacha20_keystream(key, nonce, 128)
+    nonce_plus = (1).to_bytes(8, "little") + nonce[8:]
+    ks_shift = chacha.chacha20_keystream(key, nonce_plus, 64)
+    assert ks[64:] == ks_shift
+
+
+@pytest.mark.parametrize("n_bytes", [64, 128, 2048, 2048 + 1, 65536])
+def test_jax_keystream_matches_cryptography(n_bytes):
+    key = bytes(range(32))
+    nonce = bytes(range(100, 116))
+    golden = chacha.chacha20_keystream(key, nonce, n_bytes)
+    ours = chacha.chacha20_keystream_jax(key, nonce, n_bytes, backend="xla")
+    assert golden == ours
+
+
+def test_random_keys_match():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        key = rng.bytes(32)
+        nonce = rng.bytes(16)
+        golden = chacha.chacha20_keystream(key, nonce, 1024)
+        assert golden == chacha.chacha20_keystream_jax(key, nonce, 1024, backend="xla")
+
+
+def test_counter_carry_across_32bit_boundary():
+    # initial counter 0xFFFFFFFF: second block must carry into the high word.
+    key = bytes(range(32))
+    nonce = (0xFFFFFFFF).to_bytes(8, "little") + bytes(8)
+    golden = chacha.chacha20_keystream(key, nonce, 192)
+    assert golden == chacha.chacha20_keystream_jax(key, nonce, 192, backend="xla")
+
+
+def test_keystream_bits_stream_order():
+    key = bytes(range(32))
+    nonce = bytes(range(16))
+    ks = chacha.chacha20_keystream(key, nonce, 64)
+    want = np.unpackbits(np.frombuffer(ks, dtype=np.uint8))
+    got = np.asarray(chacha.keystream_bits(key, nonce, 512, backend="xla"))
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.skipif(
+    os.environ.get("JAX_PLATFORMS", "cpu") == "cpu",
+    reason="Pallas TPU kernel needs a TPU device",
+)
+def test_pallas_keystream_matches():
+    key = bytes(range(32))
+    nonce = bytes(range(16))
+    golden = chacha.chacha20_keystream(key, nonce, 65536)
+    assert golden == chacha.chacha20_keystream_jax(key, nonce, 65536, backend="pallas")
