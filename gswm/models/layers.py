@@ -1,0 +1,267 @@
+"""Shared building blocks for the UNet and VAE (Flax linen, NHWC).
+
+Design notes (TPU):
+  * Convs are NHWC/HWIO — XLA's native TPU layout, no transposes inside the
+    network.
+  * GroupNorm in fp32 regardless of compute dtype (normalization statistics
+    are precision-sensitive; everything else can ride bf16 into the MXU).
+  * Attention uses one fused qkv einsum per projection and
+    ``dot_general``-friendly shapes (batch, seq, heads, head_dim); optional
+    logical sharding constraints let pjit shard heads across a 'tp' mesh axis
+    (gswm.sharding.axis_rules).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import PartitionSpec as P
+
+
+def with_sharding(x, axes):
+    """Sharding hint that degrades to a no-op outside a mesh context.
+
+    ``axes`` names mesh axes per dimension ('dp' batch, 'tp' heads/ffn); axes
+    not present in the active mesh are dropped, so the same model code runs
+    single-chip, DP-only, or DP x TP without edits.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        names = getattr(mesh, "axis_names", ()) or ()
+        if not names:
+            return x
+        spec = P(*[a if a in names else None for a in axes])
+        return jax.lax.with_sharding_constraint(x, spec)
+    except Exception:
+        return x
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32, cast back to the input dtype."""
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return x.astype(dtype)
+
+
+def timestep_embedding(
+    t: jax.Array, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0
+) -> jax.Array:
+    """Sinusoidal timestep features (diffusers get_timestep_embedding
+    semantics, needed for weight parity)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(10000.0)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - freq_shift)
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin], axis=-1) if flip_sin_to_cos else jnp.concatenate(
+        [sin, cos], axis=-1
+    )
+    if dim % 2:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class TimeEmbedding(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    use_time_emb: bool = True
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jax.Array] = None):
+        h = GroupNorm32(self.norm_groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(self.norm_groups, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention (self when context is None, cross otherwise).
+
+    Plain dot-product attention: at SD latent sizes (<= 16k tokens) XLA's
+    fused softmax pipeline is already HBM-bound-optimal on TPU for inference;
+    a Pallas flash kernel is only warranted at SDXL-scale sequence lengths
+    (gswm.ops.attention provides it)."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ctx = x if context is None else context
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        def split(t):
+            t = t.reshape(t.shape[0], t.shape[1], self.heads, self.head_dim)
+            return with_sharding(t, ("dp", None, "tp", None))
+
+        q, k, v = split(q), split(k), split(v)
+        scale = self.head_dim**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(out.shape[0], out.shape[1], inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * 4, dtype=self.dtype, name="net_0")(x)
+        h = with_sharding(h, ("dp", None, "tp"))
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + Attention(self.heads, self.head_dim, self.dtype, name="attn1")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        )
+        x = x + Attention(self.heads, self.head_dim, self.dtype, name="attn2")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
+        )
+        x = x + FeedForward(self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: norm -> proj_in -> blocks over (H*W) tokens ->
+    proj_out, residual.  ``use_linear_projection`` matches SD2.x."""
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm32(self.norm_groups, name="norm")(x)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.head_dim, self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, context)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, c)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention used in VAE mid blocks."""
+
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm32(self.norm_groups, name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c**-0.5)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(b, h, w, c) + residual

@@ -1,0 +1,235 @@
+"""InversablePipeline — txt2img(Z_T) -> image and invert(image) -> Z_T.
+
+Equivalent capability to the reference's extraction stack (extract.py:46-70)
+plus its compiled-only InversableStableDiffusionPipeline (SURVEY.md §2.3),
+designed TPU-first:
+
+  * the whole denoise / inversion loop is ONE ``lax.scan`` under ``jit`` —
+    static shapes, no per-step Python, donated latent buffer;
+  * jit cache keyed on (shape, steps, scheduler, guidance-mode, refine), so a
+    10k-image sweep compiles once (the reference re-builds the pipeline per
+    image, extract.py:56-60);
+  * classifier-free guidance batches cond/uncond through the UNet in one
+    call; guidance == 1.0 (the inversion setting, extract.py:66) skips the
+    double compute entirely;
+  * scheduler state is fp32 even when the UNet computes in bf16
+    (SURVEY.md §7.3);
+  * optional fixed-point refinement of each inversion step (AIDI/EasyInv
+    style, PAPERS.md): re-evaluate eps at the *target* timestep on the
+    current x_{t+1} estimate — measurably tightens Z_T recovery for +K UNet
+    evals per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gswm.models.configs import ModelPreset, PRESETS
+from gswm.models.text import TextEncoder
+from gswm.models.unet import UNet2DCondition
+from gswm.models.vae import AutoencoderKL
+from gswm.schedulers import SCHEDULERS, sd_schedule
+from gswm.schedulers.ddim import ddim_step, to_eps
+from gswm.schedulers.dpm import dpm_init_carry, dpm_step
+
+
+class InversablePipeline:
+    """One weight set; generate and invert; jit-cached per static config."""
+
+    def __init__(
+        self,
+        preset: ModelPreset | str = "sd-2-1-base",
+        model_dir: Optional[str] = None,
+        dtype=jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+    ):
+        if isinstance(preset, str):
+            preset = PRESETS[preset]
+        self.preset = preset
+        self.dtype = dtype
+        self.unet = UNet2DCondition(preset.unet, dtype=dtype)
+        self.vae = AutoencoderKL(preset.vae, dtype=dtype)
+        self.text = TextEncoder(preset.text)
+        self.schedule = sd_schedule(prediction_type=preset.prediction_type)
+
+        rng = rng if rng is not None else jax.random.key(0)
+        ru, rv = jax.random.split(rng)
+        if model_dir is not None:
+            from gswm.models import loader
+
+            self.unet_params = loader.load_unet_params(model_dir)
+            self.vae_params = loader.load_vae_params(model_dir)
+            self.text_params = loader.load_text_params(model_dir)
+        else:
+            # random init — architecture-true; real weights attach when a
+            # local checkpoint directory is available (offline environment).
+            self.unet_params = self.unet.init_params(
+                ru, context_len=preset.text.max_length
+            )
+            vae_res = preset.vae.latent_channels  # any small spatial works
+            img = jnp.zeros((1, preset.vae.in_channels, 32, 32))
+            self.vae_params = self.vae.init(rv, img)
+            self.text_params = self.text.params
+
+    # -- conditioning --------------------------------------------------------
+
+    def encode_prompt_ids(self, input_ids) -> jax.Array:
+        """(B, 77) token ids -> (B, 77, dim) context."""
+        return self.text(jnp.asarray(input_ids), self.text_params)
+
+    def empty_context(self, batch: int = 1) -> jax.Array:
+        return self.encode_prompt_ids(self.text.empty_prompt_ids(batch))
+
+    # -- core scans ----------------------------------------------------------
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "num_steps", "scheduler", "guidance_mode",
+                         "invert", "refine"),
+    )
+    def _run(
+        self,
+        unet_params,
+        latents,
+        context,
+        uncond_context,
+        guidance_scale,
+        num_steps: int,
+        scheduler: str = "DDIM",
+        guidance_mode: bool = False,
+        invert: bool = False,
+        refine: int = 0,
+    ):
+        plan_fn = SCHEDULERS[scheduler][1 if invert else 0]
+        plan = plan_fn(self.schedule, num_steps)
+        pred_type = self.schedule.prediction_type
+        use_dpm = scheduler == "DPMs"
+
+        if guidance_mode:
+            ctx = jnp.concatenate([uncond_context, context], axis=0)
+        else:
+            ctx = context
+
+        def eval_eps(x, t, a_eval):
+            if guidance_mode:
+                model_in = jnp.concatenate([x, x], axis=0)
+                out = self.unet.apply(unet_params, model_in, t, ctx)
+                out_u, out_c = jnp.split(out, 2, axis=0)
+                out = out_u + guidance_scale * (out_c - out_u)
+            else:
+                out = self.unet.apply(unet_params, x, t, ctx)
+            return to_eps(x, out, a_eval, pred_type)
+
+        def body(carry, per_step):
+            x, dpm_carry = carry
+            if use_dpm:
+                t, a_eval, a_from, a_to, first = per_step
+            else:
+                t, a_eval, a_from, a_to = per_step
+            eps = eval_eps(x, t, a_eval)
+            if use_dpm:
+                x_next, dpm_carry = dpm_step(x, eps, a_from, a_to, dpm_carry,
+                                             first)
+            else:
+                x_next = ddim_step(x, eps, a_from, a_to)
+            # fixed-point refinement (inversion only): eps at the target
+            # timestep, re-estimated on the current x_next iterate.
+            for _ in range(refine if invert else 0):
+                eps = eval_eps(x_next, t, a_eval)
+                if use_dpm:
+                    x_next, dpm_carry = dpm_step(x, eps, a_from, a_to,
+                                                 dpm_carry, first)
+                else:
+                    x_next = ddim_step(x, eps, a_from, a_to)
+            return (x_next, dpm_carry), None
+
+        xs = (plan.t_model, plan.alpha_eval, plan.alpha_from, plan.alpha_to)
+        if use_dpm:
+            xs = xs + (plan.extras["first_order"],)
+        init = (latents.astype(jnp.float32), dpm_init_carry(latents.shape))
+        (out, _), _ = jax.lax.scan(body, init, xs)
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def generate(
+        self,
+        latents,
+        context=None,
+        prompt_ids=None,
+        guidance_scale: float = 7.5,
+        num_steps: int = 50,
+        scheduler: str = "DDIM",
+        decode: bool = True,
+    ):
+        """Watermarked Z_T -> final latents (and images in [0,1] if decode).
+
+        Mirrors the embed-side host samplers the reference plugs into
+        (README.md:107-129, nodes.py:159-161) with the noise ALWAYS caller
+        provided — that is the watermark contract.
+        """
+        b = latents.shape[0]
+        if context is None:
+            context = (
+                self.encode_prompt_ids(prompt_ids)
+                if prompt_ids is not None
+                else self.empty_context(b)
+            )
+        guidance_mode = guidance_scale is not None and guidance_scale != 1.0
+        uncond = self.empty_context(b) if guidance_mode else context
+        out = self._run(
+            self.unet_params,
+            jnp.asarray(latents),
+            context,
+            uncond,
+            jnp.float32(guidance_scale or 1.0),
+            num_steps=num_steps,
+            scheduler=scheduler,
+            guidance_mode=guidance_mode,
+            invert=False,
+        )
+        if not decode:
+            return out
+        img = self.vae.apply(self.vae_params, out, method=AutoencoderKL.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    def image_to_latents(self, images) -> jax.Array:
+        """images (B,3,H,W) in [0,1] -> scaled posterior-MEAN latents
+        (extract.py:39-43 parity, including the 2x-1 normalization)."""
+        x = 2.0 * jnp.asarray(images, jnp.float32) - 1.0
+        return self.vae.apply(self.vae_params, x, method=AutoencoderKL.encode)
+
+    def invert(
+        self,
+        images=None,
+        latents=None,
+        num_steps: int = 50,
+        scheduler: str = "DDIM",
+        refine: int = 0,
+    ) -> jax.Array:
+        """image (or its latents) -> recovered Z_T.
+
+        Empty prompt, guidance 1.0 — the reference's extraction setting
+        (extract.py:66-69).  ``refine`` adds fixed-point iterations per step.
+        """
+        if latents is None:
+            latents = self.image_to_latents(images)
+        b = latents.shape[0]
+        ctx = self.empty_context(b)
+        return self._run(
+            self.unet_params,
+            jnp.asarray(latents),
+            ctx,
+            ctx,
+            jnp.float32(1.0),
+            num_steps=num_steps,
+            scheduler=scheduler,
+            guidance_mode=False,
+            invert=True,
+            refine=refine,
+        )

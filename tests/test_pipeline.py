@@ -1,0 +1,104 @@
+"""Closed-loop pipeline tests with the TINY preset (SURVEY.md §4: "embed ->
+tiny-UNet DDIM round trip").  Random weights are fine: inversion fidelity is a
+property of the ODE solver pair, not of the weight values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gswm.config import GSConfig
+from gswm.core import bits as bitops
+from gswm.core.decode import recover_message_bits
+from gswm.core.embed import embed_latents
+from gswm.pipelines import InversablePipeline
+
+KEY_HEX = "22" * 32
+NONCE_HEX = "33" * 16
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return InversablePipeline("tiny", rng=jax.random.key(0))
+
+
+def _cfg(**kw):
+    base = dict(
+        key_hex=KEY_HEX, nonce_hex=NONCE_HEX, message="lthero",
+        width=64, height=64, message_bits=32,
+    )
+    base.update(kw)
+    return GSConfig(**base)
+
+
+def test_latent_denoise_invert_roundtrip(pipe):
+    """Z_T -> x0 latents -> inverted Z_T without the VAE: the solver pair
+    must preserve watermark bits at high accuracy."""
+    cfg = _cfg()
+    zT, msg = embed_latents(cfg, rng=jax.random.key(5))
+    x0 = pipe.generate(zT, guidance_scale=1.0, num_steps=20, decode=False)
+    z_back = pipe.invert(latents=x0, num_steps=20)
+    voted = np.asarray(recover_message_bits(z_back, cfg))[0]
+    acc = float(np.mean(voted == bitops.bytes_to_bits(msg)))
+    assert acc == 1.0, acc
+    # raw element-wise sign survival should already be decent pre-vote
+    sign = float(jnp.mean((z_back > 0) == (zT > 0)))
+    assert sign > 0.8, sign
+
+
+def test_full_image_roundtrip(pipe):
+    """Z_T -> image (VAE decode) -> VAE encode -> invert -> decode bits.
+    BASELINE config 2 shape, tiny scale.  The tiny VAE has 2 levels, so its
+    spatial factor is 2 (not SD's 8): 8x8 latent <-> 16x16 image."""
+    cfg = _cfg(width=16, height=16, vae_scale=2)
+    zT, msg = embed_latents(cfg, rng=jax.random.key(6))
+    img = pipe.generate(zT, guidance_scale=1.0, num_steps=20, decode=True)
+    assert img.shape == (1, 3, 16, 16)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+    z_back = pipe.invert(images=img, num_steps=20)
+    voted = np.asarray(recover_message_bits(z_back, cfg))[0]
+    acc = float(np.mean(voted == bitops.bytes_to_bits(msg)))
+    # random VAE: encode(decode(x)) is far from identity, but the 64x
+    # redundancy + majority vote should still recover most bits; with real
+    # SD weights this is ~1.0 (README.md:15).
+    assert acc > 0.55, acc
+
+
+def test_guidance_path_runs(pipe):
+    cfg = _cfg()
+    zT, _ = embed_latents(cfg, rng=jax.random.key(7))
+    ids = np.array([[1, 5, 9] + [0] * 74], dtype=np.int32)
+    img = pipe.generate(zT, prompt_ids=ids, guidance_scale=7.5, num_steps=4)
+    assert img.shape == (1, 3, 16, 16)
+
+
+def test_dpm_scheduler_path(pipe):
+    cfg = _cfg()
+    zT, msg = embed_latents(cfg, rng=jax.random.key(8))
+    x0 = pipe.generate(zT, guidance_scale=1.0, num_steps=20, decode=False,
+                       scheduler="DPMs")
+    z_back = pipe.invert(latents=x0, num_steps=20, scheduler="DPMs")
+    voted = np.asarray(recover_message_bits(z_back, cfg))[0]
+    acc = float(np.mean(voted == bitops.bytes_to_bits(msg)))
+    assert acc > 0.9, acc
+
+
+def test_refinement_improves_inversion(pipe):
+    cfg = _cfg()
+    zT, _ = embed_latents(cfg, rng=jax.random.key(9))
+    x0 = pipe.generate(zT, guidance_scale=1.0, num_steps=10, decode=False)
+    z0 = pipe.invert(latents=x0, num_steps=10, refine=0)
+    z2 = pipe.invert(latents=x0, num_steps=10, refine=2)
+    e0 = float(jnp.mean(jnp.abs(z0 - zT)))
+    e2 = float(jnp.mean(jnp.abs(z2 - zT)))
+    assert e2 <= e0 * 1.05, (e0, e2)
+
+
+def test_batch_shapes(pipe):
+    cfg = _cfg()
+    zT, msg = embed_latents(cfg, rng=jax.random.key(10), batch=3)
+    x0 = pipe.generate(zT, guidance_scale=1.0, num_steps=4, decode=False)
+    assert x0.shape == (3, 4, 8, 8)
+    z_back = pipe.invert(latents=x0, num_steps=4)
+    voted = np.asarray(recover_message_bits(z_back, cfg))
+    assert voted.shape == (3, 32)
