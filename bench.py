@@ -1,0 +1,77 @@
+"""Benchmark: embed + DDIM-inversion extraction throughput (imgs/sec/chip).
+
+The headline metric from BASELINE.json: watermark embed, N-step DDIM
+inversion of image latents through the SD 2.1-base-architecture UNet, and
+bit decode — the full extraction path of the reference (extract.py:46-117) —
+measured end-to-end on one chip.  Weights are random when no local checkpoint
+exists; throughput is weight-independent.
+
+Reference baseline: the reference publishes NO throughput numbers
+(SURVEY.md §6).  vs_baseline is computed against an estimated 0.8 imgs/sec
+for its torch fp16 pipeline on a single A100 at the same 30-step setting
+(30 UNet forwards at ~40 ms each, plus VAE encode and per-image pipeline
+rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
+
+Env knobs: GSWM_BENCH_BATCH (default 8), GSWM_BENCH_STEPS (default 30),
+GSWM_BENCH_PRESET (default sd-2-1-base), GSWM_BENCH_RES (default 512).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+REFERENCE_ESTIMATE_IMGS_PER_SEC = 0.8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
+
+    from gswm.config import GSConfig
+    from gswm.core.decode import recover_message_bits
+    from gswm.core.embed import embed_latents
+    from gswm.pipelines import InversablePipeline
+
+    batch = int(os.environ.get("GSWM_BENCH_BATCH", "8"))
+    steps = int(os.environ.get("GSWM_BENCH_STEPS", "30"))
+    preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
+    res = int(os.environ.get("GSWM_BENCH_RES", "512"))
+
+    pipe = InversablePipeline(preset, rng=jax.random.key(0))
+    cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="bench",
+                   width=res, height=res, message_bits=256)
+
+    def one_pass(rng):
+        zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
+        z_back = pipe.invert(latents=zT, num_steps=steps, scheduler="DDIM")
+        bits = recover_message_bits(z_back, cfg)
+        return bits
+
+    # warmup/compile
+    jax.block_until_ready(one_pass(jax.random.key(1)))
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        jax.block_until_ready(one_pass(jax.random.key(2 + i)))
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    n_chips = jax.device_count()
+    value = imgs_per_sec / n_chips
+    print(json.dumps({
+        "metric": f"embed+{steps}-step DDIM-inversion extract throughput "
+                  f"({preset} arch @ {res}x{res}, batch {batch})",
+        "value": round(value, 4),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(value / REFERENCE_ESTIMATE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""ComfyUI node pair — surface parity with ComfyUI_GSWaterMark/nodes.py.
+
+Same node names, same INPUT_TYPES schema (nodes.py:168-187, 212-223), same
+seeded-replication semantics (nodes.py:232-238), but the embed core is the
+gswm JAX kernel instead of a 16k-iteration Python loop.  Torch appears only
+at the boundary (ComfyUI's LATENT dict carries torch tensors).
+
+Install: symlink this package into ComfyUI/custom_nodes and import
+NODE_CLASS_MAPPINGS from here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gswm.config import GSConfig, prepare_message_bytes
+from gswm.core.embed import embed_latents
+from gswm.eval.registry import KeyRegistry
+
+MAX_RESOLUTION = 8192
+
+_DEFAULT_KEY = "5822ff9cce6772f714192f43863f6bad1bf54b78326973897e6b66c3186b77a7"
+_DEFAULT_NONCE = "05072fd1c2265f6f2e2a4080a2bfbdd8"
+
+
+def gs_watermark_init_noise(
+    key_hex, nonce_hex, device, message, use_seed, randomSeed, width, height,
+    message_length=-1,
+):
+    """Drop-in for nodes.py:51-138: one (4, H/8, W/8) watermarked latent as a
+    torch tensor on ``device`` plus the info_data.txt side-log."""
+    import jax
+    import torch
+
+    cfg = GSConfig(
+        key_hex=key_hex or "",
+        nonce_hex=nonce_hex or "",
+        message=str(message) if message else "",
+        message_bits=message_length,
+        width=width,
+        height=height,
+        seed=int(randomSeed) if int(use_seed) == 1 else None,
+    ).resolved()
+    msg = prepare_message_bytes(cfg.message, cfg.message_bytes_len)
+    rng = (
+        jax.random.key(cfg.seed)
+        if cfg.seed is not None
+        else jax.random.key(int.from_bytes(np.random.bytes(4), "little"))
+    )
+    lat, msg = embed_latents(cfg, rng=rng, batch=1, message_bytes=msg)
+
+    key, nonce = cfg.resolve_key_nonce()
+    KeyRegistry(".").record(key, nonce, msg, seed=randomSeed, height=height,
+                            width=width, message_length=message_length)
+    return torch.from_numpy(np.asarray(lat[0], dtype=np.float32)).to(device)
+
+
+class GSLatent:
+    @classmethod
+    def INPUT_TYPES(s):
+        return {"required": {
+            "use_seed": ("INT", {"default": 1, "min": 0, "max": 1}),
+            "seed": ("INT", {"default": 42, "min": 0, "max": 0xFFFFFFFF}),
+            "width": ("INT", {"default": 512, "min": 64, "max": MAX_RESOLUTION, "step": 8}),
+            "height": ("INT", {"default": 512, "min": 64, "max": MAX_RESOLUTION, "step": 8}),
+            "key": ("STRING", {"default": _DEFAULT_KEY}),
+            "nonce": ("STRING", {"default": _DEFAULT_NONCE}),
+            "message": ("STRING", {"default": "lthero"}),
+            "message_length": ("INT", {"default": -1, "min": 32, "max": 1024, "step": 32}),
+            "batch_size": ("INT", {"default": 1, "min": 1, "max": 64}),
+        }}
+
+    RETURN_TYPES = ("LATENT", "IMAGE")
+    FUNCTION = "create_gs_latents"
+    CATEGORY = "GSWatermark-gswm/latent/noise"
+
+    def create_gs_latents(self, key, nonce, message, batch_size, use_seed,
+                          seed, width, height, message_length):
+        import torch
+
+        device = "cpu"
+        if use_seed == 1:
+            one = gs_watermark_init_noise(key, nonce, device, message,
+                                          use_seed, seed, width, height,
+                                          message_length)
+            lats = [one] * batch_size  # replicate (nodes.py:232-238)
+        else:
+            lats = [
+                gs_watermark_init_noise(key, nonce, device, message, use_seed,
+                                        seed, width, height, message_length)
+                for _ in range(batch_size)
+            ]
+        latent = torch.stack([t.clone().detach().float() for t in lats])
+        return ({"samples": latent}, latent[0])
+
+
+def common_ksampler(model, seed, steps, cfg, sampler_name, scheduler,
+                    positive, negative, latent, denoise=1.0,
+                    disable_noise=False, start_step=None, last_step=None,
+                    force_full_denoise=False, use_GS=False,
+                    GS_latent_noise=None):
+    """Noise substitution around comfy.sample.sample (nodes.py:141-164):
+    when use_GS, the prepared noise IS the watermarked latent."""
+    import torch
+
+    import comfy.sample
+    import comfy.utils
+    import latent_preview
+
+    latent_image = latent["samples"]
+    if use_GS:
+        noise = GS_latent_noise["samples"]
+    elif disable_noise:
+        noise = torch.zeros(latent_image.size(), dtype=latent_image.dtype,
+                            layout=latent_image.layout, device="cpu")
+    else:
+        batch_inds = latent.get("batch_index")
+        noise = comfy.sample.prepare_noise(latent_image, seed, batch_inds)
+
+    noise_mask = latent.get("noise_mask")
+    callback = latent_preview.prepare_callback(model, steps)
+    disable_pbar = not comfy.utils.PROGRESS_BAR_ENABLED
+    samples = comfy.sample.sample(
+        model, noise, steps, cfg, sampler_name, scheduler, positive, negative,
+        latent_image, denoise=denoise, disable_noise=disable_noise,
+        start_step=start_step, last_step=last_step,
+        force_full_denoise=force_full_denoise, noise_mask=noise_mask,
+        callback=callback, disable_pbar=disable_pbar, seed=seed,
+    )
+    out = latent.copy()
+    out["samples"] = samples
+    return (out,)
+
+
+class GSKSamplerAdvanced:
+    @classmethod
+    def INPUT_TYPES(s):
+        import comfy.samplers
+
+        return {"required": {
+            "model": ("MODEL",),
+            "add_GS_noise": (["enable", "disable"],),
+            "add_noise": (["disable", "enable"],),
+            "noise_seed": ("INT", {"default": 42, "min": 0, "max": 0xFFFFFFFFFFFFFFFF}),
+            "steps": ("INT", {"default": 20, "min": 1, "max": 10000}),
+            "cfg": ("FLOAT", {"default": 8.0, "min": 0.0, "max": 100.0,
+                              "step": 0.1, "round": 0.01}),
+            "sampler_name": (comfy.samplers.KSampler.SAMPLERS,),
+            "scheduler": (comfy.samplers.KSampler.SCHEDULERS,),
+            "positive": ("CONDITIONING",),
+            "negative": ("CONDITIONING",),
+            "latent_image": ("LATENT",),
+            "GS_latent_noise": ("LATENT",),
+            "start_at_step": ("INT", {"default": 0, "min": 0, "max": 10000}),
+            "end_at_step": ("INT", {"default": 10000, "min": 0, "max": 10000}),
+            "return_with_leftover_noise": (["disable", "enable"],),
+        }}
+
+    RETURN_TYPES = ("LATENT",)
+    FUNCTION = "sample"
+    CATEGORY = "GSWatermark-gswm/sampling"
+
+    def sample(self, model, add_GS_noise, add_noise, noise_seed, steps, cfg,
+               sampler_name, scheduler, positive, negative, latent_image,
+               GS_latent_noise, start_at_step, end_at_step,
+               return_with_leftover_noise, denoise=1.0):
+        return common_ksampler(
+            model, noise_seed, steps, cfg, sampler_name, scheduler, positive,
+            negative, latent_image, denoise=denoise,
+            disable_noise=(add_noise == "disable"),
+            start_step=start_at_step, last_step=end_at_step,
+            force_full_denoise=(return_with_leftover_noise != "enable"),
+            use_GS=(add_GS_noise == "enable"), GS_latent_noise=GS_latent_noise,
+        )
+
+
+NODE_CLASS_MAPPINGS = {
+    "Gswm_GSLatent": GSLatent,
+    "Gswm_GS_KSamplerAdvanced": GSKSamplerAdvanced,
+}
+
+NODE_DISPLAY_NAME_MAPPINGS = {
+    "Gswm_GSLatent": "GS Latent Noise (gswm)",
+    "Gswm_GS_KSamplerAdvanced": "GS KSamplerAdvanced (gswm)",
+}
