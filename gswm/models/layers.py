@@ -116,14 +116,16 @@ class ResnetBlock(nn.Module):
 class Attention(nn.Module):
     """Multi-head attention (self when context is None, cross otherwise).
 
-    Plain dot-product attention: at SD latent sizes (<= 16k tokens) XLA's
-    fused softmax pipeline is already HBM-bound-optimal on TPU for inference;
-    a Pallas flash kernel is only warranted at SDXL-scale sequence lengths
-    (gswm.ops.attention provides it)."""
+    Two compute paths: plain fused-einsum attention at SD latent sizes (XLA's
+    softmax pipeline is already HBM-optimal there) and the Pallas flash
+    kernel (gswm.ops.attention) once the query sequence reaches
+    ``flash_min_seq`` — at SDXL-scale (16k tokens) the O(S^2) logits tensor
+    must never materialize."""
 
     heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    flash_min_seq: int = 4096
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -138,10 +140,21 @@ class Attention(nn.Module):
             return with_sharding(t, ("dp", None, "tp", None))
 
         q, k, v = split(q), split(k), split(v)
-        scale = self.head_dim**-0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        use_flash = (
+            q.shape[1] >= self.flash_min_seq
+            and jax.default_backend() == "tpu"
+        )
+        if use_flash:
+            from gswm.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            scale = self.head_dim**-0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                self.dtype
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(out.shape[0], out.shape[1], inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 

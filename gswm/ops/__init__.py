@@ -1,0 +1,9 @@
+"""Custom TPU kernels (Pallas) beyond what XLA fuses on its own:
+
+  attention.py — blockwise flash attention for SDXL-scale latent sequences
+                 (4x128x128 latents -> 16k tokens; SURVEY.md §5 long-context
+                 analog)
+  chacha (in gswm.core.chacha) — keystream generation on VPU lanes
+"""
+
+from gswm.ops.attention import flash_attention  # noqa: F401

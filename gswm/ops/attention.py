@@ -1,0 +1,145 @@
+"""Blockwise (flash) attention for long latent sequences.
+
+At SD resolutions (<= 4k tokens) XLA's fused softmax attention is already
+HBM-optimal for inference, so the default model path uses plain einsum
+attention (gswm.models.layers.Attention).  At SDXL-scale — 4x128x128 latents
+= 16,384 tokens — the O(S^2) logits tensor (16k x 16k x heads) blows past
+VMEM and wastes HBM bandwidth; this kernel computes attention blockwise with
+the online-softmax recurrence so nothing larger than (block_q, block_k) ever
+materializes.
+
+Layout: (BH, S, D) with D padded to lane width.  fp32 accumulation
+throughout (softmax statistics are precision-critical near the watermark
+sign boundary).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
+                  valid_k: int):
+    """One (1, block_q, D) query tile against the full K/V for this head.
+    ``valid_k`` (static) masks the zero-padded tail of the key sequence."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    seq_k = k_ref.shape[1]
+    bq, d = q.shape
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        if valid_k != seq_k:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(col < valid_k, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, seq_k // block_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "valid_k", "interpret")
+)
+def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
+                interpret: bool = False):
+    bh, s, d = q.shape
+    sk = k.shape[1]
+    scale = d**-0.5
+    grid = (bh, s // block_q)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
+                               valid_k=valid_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+def flash_attention(
+    q, k, v,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+):
+    """(B, S, H, D) q/k/v -> (B, S, H, D) attention output.
+
+    Pallas on TPU; interpreter mode elsewhere (tests).  Sequences are padded
+    to the block size; padded key positions are masked inside the kernel
+    (valid_k is static), padded query rows are sliced off the output.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+
+    bq = min(block_q, max(128, 1 << (sq - 1).bit_length()))
+    bq = min(bq, block_q)
+    bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
+    bk = min(bk, block_k)
+
+    def to_bhsd(t):
+        return jnp.transpose(t, (0, 2, 1, 3)).reshape(b * h, t.shape[1], d)
+
+    qb = to_bhsd(q)
+    kb = to_bhsd(k)
+    vb = to_bhsd(v)
+
+    qb, sq0 = _pad_to(qb, 1, bq)
+    kb, sk0 = _pad_to(kb, 1, bk)
+    vb, _ = _pad_to(vb, 1, bk)
+
+    out = _flash_bhsd(qb, kb, vb, bq, bk, valid_k=sk0, interpret=interpret)
+    out = out[:, :sq0, :]
+    return jnp.transpose(out.reshape(b, h, sq0, d), (0, 2, 1, 3))
+
+
+def reference_attention(q, k, v):
+    """Plain fp32 attention for parity tests; same (B, S, H, D) layout."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (d**-0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32)).astype(q.dtype)

@@ -22,12 +22,26 @@ designed TPU-first:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    """Generation result carrying the init noise — API parity with the
+    reference's compiled-only ModifiedStableDiffusionPipelineOutput
+    (images, nsfw_content_detected, init_latents; SURVEY.md §2.3), which
+    exists precisely so embed/extract roundtrips can be verified without
+    touching the filesystem."""
+
+    images: jax.Array  # (B, 3, H, W) in [0, 1]
+    nsfw_content_detected: list
+    init_latents: jax.Array  # the Z_T that seeded generation
 
 from gswm.models.configs import ModelPreset, PRESETS
 from gswm.models.text import TextEncoder
@@ -233,3 +247,66 @@ class InversablePipeline:
             invert=True,
             refine=refine,
         )
+
+    # -- reference-pyc API parity (SURVEY.md §2.3) ---------------------------
+    # Thin aliases matching InversableStableDiffusionPipeline /
+    # ModifiedStableDiffusionPipeline method names so reference-derived code
+    # ports by renaming imports only.
+
+    def get_random_latents(self, rng=None, batch: int = 1,
+                           height: int = 512, width: int = 512) -> jax.Array:
+        rng = rng if rng is not None else jax.random.key(0)
+        f = 2 ** (len(self.preset.vae.block_out_channels) - 1)
+        return jax.random.normal(
+            rng, (batch, self.preset.vae.latent_channels, height // f,
+                  width // f), jnp.float32,
+        )
+
+    def get_text_embedding(self, prompt_ids) -> jax.Array:
+        return self.encode_prompt_ids(prompt_ids)
+
+    def get_image_latents(self, image, sample: bool = False,
+                          rng_generator=None) -> jax.Array:
+        """VAE-encode; ``sample=False`` (default) is the posterior MEAN the
+        extraction path depends on (extract.py:39-43)."""
+        x = 2.0 * jnp.asarray(image, jnp.float32) - 1.0
+        mean, logvar = self.vae.apply(
+            self.vae_params, x, method=type(self.vae).encode_moments
+        )
+        if sample:
+            rng = rng_generator if rng_generator is not None else jax.random.key(0)
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape
+            )
+        return mean * self.preset.vae.scaling_factor
+
+    def backward_diffusion(self, latents, context=None, guidance_scale=1.0,
+                           num_inference_steps: int = 50,
+                           reverse_process: bool = False,
+                           scheduler: str = "DDIM") -> jax.Array:
+        """One name, both directions (the pyc's backward_diffusion had a
+        reverse_process flag): False = denoise, True = invert."""
+        if reverse_process:
+            return self.invert(latents=latents, num_steps=num_inference_steps,
+                               scheduler=scheduler)
+        return self.generate(latents, context=context,
+                             guidance_scale=guidance_scale,
+                             num_steps=num_inference_steps,
+                             scheduler=scheduler, decode=False)
+
+    def decode_image(self, latents) -> jax.Array:
+        img = self.vae.apply(self.vae_params, latents,
+                             method=type(self.vae).decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    @staticmethod
+    def torch_to_numpy(x) -> np.ndarray:  # name parity; accepts any array
+        return np.asarray(x)
+
+    def generate_with_init(self, latents, **kw) -> PipelineOutput:
+        """generate() that also returns init_latents (ModifiedSD __call__)."""
+        images = self.generate(latents, **kw)
+        b = images.shape[0]
+        return PipelineOutput(images=images,
+                              nsfw_content_detected=[False] * b,
+                              init_latents=jnp.asarray(latents))
