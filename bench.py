@@ -46,11 +46,16 @@ def main():
     cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="bench",
                    width=res, height=res, message_bits=256)
 
+    # fixed input batch of images: the measured path is the reference's full
+    # extraction chain (image -> VAE posterior mean -> N-step inversion ->
+    # decode, extract.py:46-117) plus watermark embed.
+    images = jax.random.uniform(jax.random.key(99), (batch, 3, res, res))
+
     def one_pass(rng):
         zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
-        z_back = pipe.invert(latents=zT, num_steps=steps, scheduler="DDIM")
+        z_back = pipe.invert(images=images, num_steps=steps, scheduler="DDIM")
         bits = recover_message_bits(z_back, cfg)
-        return bits
+        return zT, bits
 
     # warmup/compile
     jax.block_until_ready(one_pass(jax.random.key(1)))

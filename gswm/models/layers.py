@@ -39,18 +39,19 @@ def with_sharding(x, axes):
         return x
 
 
-class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32, cast back to the input dtype."""
+class GroupNorm32(nn.GroupNorm):
+    """GroupNorm computed in fp32, cast back to the input dtype.
 
-    num_groups: int = 32
+    Subclasses nn.GroupNorm (rather than wrapping it) so scale/bias live at
+    this module's own path — flat names, matching diffusers checkpoints
+    (``norm1.weight`` -> ``norm1.scale``, no intermediate scope)."""
 
-    @nn.compact
-    def __call__(self, x):
+    epsilon: float = 1e-5
+
+    def __call__(self, x):  # parent __call__ is the compact method
         dtype = x.dtype
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return x.astype(dtype)
+        out = super().__call__(x.astype(jnp.float32))
+        return out.astype(dtype)
 
 
 def timestep_embedding(
