@@ -19,7 +19,11 @@ class UNetConfig:
     layers_per_block: int = 2
     # which down/up levels carry cross-attention transformers (SD: all but last)
     cross_attn_levels: Tuple[bool, ...] = (True, True, True, False)
-    transformer_depth: int = 1
+    # int = same depth everywhere; tuple = per-level (SDXL: (1, 2, 10))
+    transformer_depth: int | Tuple[int, ...] = 1
+    # SDXL addition embeddings: concat(text_embeds[1280], 6 time_ids x 256)
+    # -> Dense(time_embed_dim), added to the timestep embedding.
+    addition_embed_dim: int = 0  # 0 = disabled (SD1/2)
     # attention head policy: SD1.x fixes 8 heads; SD2.x fixes head_dim=64.
     num_heads: int | None = 8
     head_dim: int | None = None
@@ -33,6 +37,11 @@ class UNetConfig:
         if self.head_dim is not None:
             return channels // self.head_dim
         return self.num_heads
+
+    def depth_for(self, level: int) -> int:
+        if isinstance(self.transformer_depth, tuple):
+            return self.transformer_depth[level]
+        return self.transformer_depth
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +107,26 @@ SD_2_1_768 = ModelPreset(
     default_resolution=768,
 )
 
+SDXL_BASE = ModelPreset(
+    name="sdxl-base",
+    unet=UNetConfig(
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=2,
+        cross_attn_levels=(False, True, True),
+        transformer_depth=(1, 2, 10),
+        num_heads=None,
+        head_dim=64,
+        cross_attn_dim=2048,  # CLIP-L(768) ++ OpenCLIP-bigG(1280)
+        use_linear_projection=True,
+        addition_embed_dim=2816,  # text_embeds(1280) + 6 time_ids x 256
+    ),
+    vae=VAEConfig(scaling_factor=0.13025),
+    text=TextConfig(hidden_size=768, num_layers=12, num_heads=12,
+                    hidden_act="quick_gelu", penultimate=True),
+    prediction_type="epsilon",
+    default_resolution=1024,
+)
+
 TINY = ModelPreset(
     name="tiny",
     unet=UNetConfig(
@@ -114,4 +143,4 @@ TINY = ModelPreset(
     default_resolution=64,
 )
 
-PRESETS = {p.name: p for p in (SD_1_4, SD_2_1_BASE, SD_2_1_768, TINY)}
+PRESETS = {p.name: p for p in (SD_1_4, SD_2_1_BASE, SD_2_1_768, SDXL_BASE, TINY)}

@@ -119,9 +119,10 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latents_nchw, timesteps, context):
+    def __call__(self, latents_nchw, timesteps, context, added_cond=None):
         """latents (B, C, h, w) NCHW; timesteps (B,) or scalar; context
-        (B, seq, cross_attn_dim).  Returns model output, NCHW."""
+        (B, seq, cross_attn_dim); added_cond (SDXL): dict with
+        text_embeds (B, 1280) and time_ids (B, 6).  Returns output, NCHW."""
         cfg = self.config
         x = jnp.transpose(latents_nchw, (0, 2, 3, 1)).astype(self.dtype)
         x = with_sharding(x, ("dp", None, None, None))
@@ -136,6 +137,24 @@ class UNet2DCondition(nn.Module):
         temb = TimeEmbedding(cfg.block_out_channels[0] * 4, self.dtype,
                              name="time_embedding")(temb)
 
+        if cfg.addition_embed_dim:
+            # SDXL micro-conditioning: 256-dim sinusoidal features per
+            # time_id, concat with pooled text embeds, project, add to temb.
+            if added_cond is None:
+                raise ValueError("SDXL config needs added_cond "
+                                 "{text_embeds, time_ids}")
+            tid = added_cond["time_ids"].reshape(-1)
+            tid_emb = timestep_embedding(tid, 256, cfg.flip_sin_to_cos,
+                                         cfg.freq_shift)
+            tid_emb = tid_emb.reshape(x.shape[0], -1)
+            add = jnp.concatenate(
+                [added_cond["text_embeds"], tid_emb], axis=-1
+            ).astype(self.dtype)
+            temb = temb + TimeEmbedding(
+                cfg.block_out_channels[0] * 4, self.dtype,
+                name="add_embedding",
+            )(add)
+
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
 
@@ -148,7 +167,7 @@ class UNet2DCondition(nn.Module):
                 heads=cfg.heads_for(out_ch),
                 head_dim=out_ch // cfg.heads_for(out_ch),
                 use_linear_projection=cfg.use_linear_projection,
-                transformer_depth=cfg.transformer_depth,
+                transformer_depth=cfg.depth_for(lvl),
                 norm_groups=cfg.norm_groups,
                 add_downsample=lvl < n_levels - 1,
                 has_attn=cfg.cross_attn_levels[lvl],
@@ -163,7 +182,7 @@ class UNet2DCondition(nn.Module):
             heads=cfg.heads_for(mid_ch),
             head_dim=mid_ch // cfg.heads_for(mid_ch),
             use_linear_projection=cfg.use_linear_projection,
-            transformer_depth=cfg.transformer_depth,
+            transformer_depth=cfg.depth_for(n_levels - 1),
             norm_groups=cfg.norm_groups,
             dtype=self.dtype,
             name="mid_block",
@@ -177,7 +196,7 @@ class UNet2DCondition(nn.Module):
                 heads=cfg.heads_for(out_ch),
                 head_dim=out_ch // cfg.heads_for(out_ch),
                 use_linear_projection=cfg.use_linear_projection,
-                transformer_depth=cfg.transformer_depth,
+                transformer_depth=cfg.depth_for(lvl),
                 norm_groups=cfg.norm_groups,
                 add_upsample=lvl > 0,
                 has_attn=cfg.cross_attn_levels[lvl],

@@ -209,14 +209,34 @@ class InversablePipeline:
         )
         if not decode:
             return out
-        img = self.vae.apply(self.vae_params, out, method=AutoencoderKL.decode)
+        img = self._vae_chunked(out, AutoencoderKL.decode)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    # VAE activations at 512x512 are the memory peak of the extraction path
+    # (first encoder block: B*512*512*128 floats); chunking the batch keeps
+    # HBM flat while the UNet loop still sees the full batch.
+    vae_chunk: int = 8
+
+    def _vae_chunked(self, x, method):
+        b = x.shape[0]
+        c = self.vae_chunk
+        if b <= c:
+            return self.vae.apply(self.vae_params, x, method=method)
+        pad = (-b) % c
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        xs = x.reshape(-1, c, *x.shape[1:])
+        out = jax.lax.map(
+            lambda ch: self.vae.apply(self.vae_params, ch, method=method), xs
+        )
+        out = out.reshape(-1, *out.shape[2:])
+        return out[:b]
 
     def image_to_latents(self, images) -> jax.Array:
         """images (B,3,H,W) in [0,1] -> scaled posterior-MEAN latents
         (extract.py:39-43 parity, including the 2x-1 normalization)."""
         x = 2.0 * jnp.asarray(images, jnp.float32) - 1.0
-        return self.vae.apply(self.vae_params, x, method=AutoencoderKL.encode)
+        return self._vae_chunked(x, AutoencoderKL.encode)
 
     def invert(
         self,

@@ -1,0 +1,75 @@
+"""SDXL-architecture coverage: addition embeddings, per-level transformer
+depth, and an SDXL-shaped tiny variant running a denoise step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gswm.models import UNet2DCondition
+from gswm.models.configs import SDXL_BASE, UNetConfig
+
+TINY_XL = UNetConfig(
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attn_levels=(False, True),
+    transformer_depth=(1, 2),
+    num_heads=2,
+    cross_attn_dim=48,
+    use_linear_projection=True,
+    addition_embed_dim=32 + 6 * 256,  # pooled(32) + 6 time_ids x 256
+    norm_groups=8,
+)
+
+
+def test_sdxl_preset_geometry():
+    assert SDXL_BASE.unet.depth_for(0) == 1
+    assert SDXL_BASE.unet.depth_for(2) == 10
+    assert SDXL_BASE.unet.cross_attn_dim == 2048
+    assert SDXL_BASE.vae.scaling_factor == 0.13025
+    assert SDXL_BASE.default_resolution == 1024
+
+
+def test_tiny_xl_forward_with_added_cond():
+    unet = UNet2DCondition(TINY_XL)
+    lat = jnp.zeros((2, 4, 8, 8))
+    t = jnp.asarray([500, 500], jnp.int32)
+    ctx = jnp.zeros((2, 10, 48))
+    added = {
+        "text_embeds": jnp.zeros((2, 32)),
+        "time_ids": jnp.zeros((2, 6)),
+    }
+    params = unet.init(jax.random.key(0), lat, t, ctx, added)
+    out = unet.apply(params, lat, t, ctx, added)
+    assert out.shape == (2, 4, 8, 8)
+    # addition-embedding params exist
+    assert "add_embedding" in params["params"]
+    # time_ids must influence the output
+    added2 = {
+        "text_embeds": jnp.zeros((2, 32)),
+        "time_ids": jnp.ones((2, 6)) * 512.0,
+    }
+    out2 = unet.apply(params, lat, t, ctx, added2)
+    assert float(jnp.max(jnp.abs(out2 - out))) > 1e-5
+
+
+def test_xl_requires_added_cond():
+    unet = UNet2DCondition(TINY_XL)
+    lat = jnp.zeros((1, 4, 8, 8))
+    ctx = jnp.zeros((1, 10, 48))
+    with pytest.raises(ValueError, match="added_cond"):
+        unet.init(jax.random.key(0), lat, jnp.asarray([1]), ctx)
+
+
+def test_per_level_depth_param_structure():
+    unet = UNet2DCondition(TINY_XL)
+    lat = jnp.zeros((1, 4, 8, 8))
+    ctx = jnp.zeros((1, 10, 48))
+    added = {"text_embeds": jnp.zeros((1, 32)), "time_ids": jnp.zeros((1, 6))}
+    params = unet.init(jax.random.key(0), lat, jnp.asarray([1]), ctx, added)
+    blk = params["params"]["down_blocks_1"]["attentions_0"]
+    assert "transformer_blocks_1" in blk  # depth 2 at level 1
+    assert "transformer_blocks_0" in blk
+    assert "transformer_blocks_2" not in blk
+    assert "attentions_0" not in params["params"]["down_blocks_0"]  # no attn lvl 0
