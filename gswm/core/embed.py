@@ -96,7 +96,15 @@ def embed_latents(
 
     if u is None:
         if rng is None:
-            rng = jax.random.key(cfg.seed if cfg.seed is not None else 0)
+            if cfg.seed is not None:
+                rng = jax.random.key(cfg.seed)
+            else:
+                # unseeded and no explicit rng: fresh entropy — a silent
+                # fixed default would replicate u across runs and leak the
+                # watermark pattern.
+                import os as _os
+
+                rng = jax.random.key(int.from_bytes(_os.urandom(4), "little"))
         u = jax.random.uniform(
             rng, (n_draws, cfg.total_elements), dtype=jnp.float32
         )
