@@ -12,10 +12,10 @@ for its torch fp16 pipeline on a single A100 at the same 30-step setting
 (30 UNet forwards at ~40 ms each, plus VAE encode and per-image pipeline
 rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
 
-Env knobs: GSWM_BENCH_BATCH (default 32), GSWM_BENCH_STEPS (default 30),
+Env knobs: GSWM_BENCH_BATCH (default 64), GSWM_BENCH_STEPS (default 30),
 GSWM_BENCH_PRESET (default sd-2-1-base), GSWM_BENCH_RES (default 512).
 Measured so far on one v5e chip: batch 4 -> 4.8, batch 8 -> 6.8,
-batch 16 -> 10.0, batch 32 -> 18.6 imgs/sec/chip.
+batch 16 -> 10.0, batch 32 -> 18.6, batch 64 -> 29.2 imgs/sec/chip.
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ def main():
     from gswm.core.embed import embed_latents
     from gswm.pipelines import InversablePipeline
 
-    batch = int(os.environ.get("GSWM_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("GSWM_BENCH_BATCH", "64"))
     steps = int(os.environ.get("GSWM_BENCH_STEPS", "30"))
     preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
     res = int(os.environ.get("GSWM_BENCH_RES", "512"))
