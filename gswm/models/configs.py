@@ -72,6 +72,9 @@ class ModelPreset:
     unet: UNetConfig
     vae: VAEConfig
     text: TextConfig
+    # SDXL second (OpenCLIP-bigG) encoder; contexts are concatenated and its
+    # pooled output feeds the addition embeddings.
+    text2: "TextConfig | None" = None
     prediction_type: str = "epsilon"
     default_resolution: int = 512
 
@@ -123,8 +126,33 @@ SDXL_BASE = ModelPreset(
     vae=VAEConfig(scaling_factor=0.13025),
     text=TextConfig(hidden_size=768, num_layers=12, num_heads=12,
                     hidden_act="quick_gelu", penultimate=True),
+    text2=TextConfig(hidden_size=1280, num_layers=32, num_heads=20,
+                     hidden_act="gelu", penultimate=True),
     prediction_type="epsilon",
     default_resolution=1024,
+)
+
+TINY_XL = ModelPreset(
+    name="tiny-xl",
+    unet=UNetConfig(
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attn_levels=(False, True),
+        transformer_depth=(1, 2),
+        num_heads=2,
+        cross_attn_dim=48,
+        use_linear_projection=True,
+        addition_embed_dim=32 + 6 * 256,
+        norm_groups=8,
+    ),
+    vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                  norm_groups=8, scaling_factor=0.13025),
+    text=TextConfig(vocab_size=1000, hidden_size=16, num_layers=2,
+                    num_heads=2, penultimate=True),
+    text2=TextConfig(vocab_size=1000, hidden_size=32, num_layers=2,
+                     num_heads=2, penultimate=True),
+    prediction_type="epsilon",
+    default_resolution=64,
 )
 
 TINY = ModelPreset(
@@ -143,4 +171,5 @@ TINY = ModelPreset(
     default_resolution=64,
 )
 
-PRESETS = {p.name: p for p in (SD_1_4, SD_2_1_BASE, SD_2_1_768, SDXL_BASE, TINY)}
+PRESETS = {p.name: p for p in (SD_1_4, SD_2_1_BASE, SD_2_1_768, SDXL_BASE,
+                               TINY, TINY_XL)}

@@ -216,4 +216,9 @@ class UNet2DCondition(nn.Module):
         lat = jnp.zeros((1, cfg.sample_channels, h, w))
         t = jnp.zeros((1,), jnp.int32)
         ctx = jnp.zeros((1, context_len, cfg.cross_attn_dim))
-        return self.init(rng, lat, t, ctx)
+        added = None
+        if cfg.addition_embed_dim:
+            pooled = cfg.addition_embed_dim - 6 * 256
+            added = {"text_embeds": jnp.zeros((1, pooled)),
+                     "time_ids": jnp.zeros((1, 6))}
+        return self.init(rng, lat, t, ctx, added)

@@ -69,6 +69,8 @@ class InversablePipeline:
         self.unet = UNet2DCondition(preset.unet, dtype=dtype)
         self.vae = AutoencoderKL(preset.vae, dtype=dtype)
         self.text = TextEncoder(preset.text)
+        # SDXL: second (bigG) encoder; contexts concatenate on the feature dim
+        self.text2 = TextEncoder(preset.text2) if preset.text2 else None
         self.schedule = sd_schedule(prediction_type=preset.prediction_type)
 
         rng = rng if rng is not None else jax.random.key(0)
@@ -92,12 +94,32 @@ class InversablePipeline:
 
     # -- conditioning --------------------------------------------------------
 
-    def encode_prompt_ids(self, input_ids) -> jax.Array:
-        """(B, 77) token ids -> (B, 77, dim) context."""
-        return self.text(jnp.asarray(input_ids), self.text_params)
+    def encode_prompt_ids(self, input_ids, input_ids2=None) -> jax.Array:
+        """(B, 77) token ids -> (B, 77, dim) context (concat of both
+        encoders' hidden states for SDXL presets)."""
+        h = self.text(jnp.asarray(input_ids), self.text_params)
+        if self.text2 is not None:
+            ids2 = input_ids if input_ids2 is None else input_ids2
+            h2 = self.text2(jnp.asarray(ids2))
+            h = jnp.concatenate([h, h2], axis=-1)
+        return h
 
     def empty_context(self, batch: int = 1) -> jax.Array:
         return self.encode_prompt_ids(self.text.empty_prompt_ids(batch))
+
+    def default_added_cond(self, batch: int, height: int, width: int,
+                           pooled_text=None):
+        """SDXL micro-conditioning defaults: time_ids = (orig_h, orig_w,
+        crop 0, 0, target_h, target_w); pooled text embeds zero unless the
+        caller supplies real OpenCLIP pooled outputs."""
+        if not self.preset.unet.addition_embed_dim:
+            return None
+        pooled_dim = self.preset.unet.addition_embed_dim - 6 * 256
+        if pooled_text is None:
+            pooled_text = jnp.zeros((batch, pooled_dim), jnp.float32)
+        tid = jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32)
+        return {"text_embeds": pooled_text,
+                "time_ids": jnp.broadcast_to(tid, (batch, 6))}
 
     # -- core scans ----------------------------------------------------------
 
@@ -118,6 +140,7 @@ class InversablePipeline:
         guidance_mode: bool = False,
         invert: bool = False,
         refine: int = 0,
+        added_cond=None,
     ):
         plan_fn = SCHEDULERS[scheduler][1 if invert else 0]
         plan = plan_fn(self.schedule, num_steps)
@@ -126,17 +149,24 @@ class InversablePipeline:
 
         if guidance_mode:
             ctx = jnp.concatenate([uncond_context, context], axis=0)
+            added = (
+                None if added_cond is None
+                else jax.tree.map(
+                    lambda a: jnp.concatenate([a, a], axis=0), added_cond
+                )
+            )
         else:
             ctx = context
+            added = added_cond
 
         def eval_eps(x, t, a_eval):
             if guidance_mode:
                 model_in = jnp.concatenate([x, x], axis=0)
-                out = self.unet.apply(unet_params, model_in, t, ctx)
+                out = self.unet.apply(unet_params, model_in, t, ctx, added)
                 out_u, out_c = jnp.split(out, 2, axis=0)
                 out = out_u + guidance_scale * (out_c - out_u)
             else:
-                out = self.unet.apply(unet_params, x, t, ctx)
+                out = self.unet.apply(unet_params, x, t, ctx, added)
             return to_eps(x, out, a_eval, pred_type)
 
         def body(carry, per_step):
@@ -196,6 +226,9 @@ class InversablePipeline:
             )
         guidance_mode = guidance_scale is not None and guidance_scale != 1.0
         uncond = self.empty_context(b) if guidance_mode else context
+        f = 2 ** (len(self.preset.vae.block_out_channels) - 1)
+        added = self.default_added_cond(b, latents.shape[-2] * f,
+                                        latents.shape[-1] * f)
         out = self._run(
             self.unet_params,
             jnp.asarray(latents),
@@ -206,6 +239,7 @@ class InversablePipeline:
             scheduler=scheduler,
             guidance_mode=guidance_mode,
             invert=False,
+            added_cond=added,
         )
         if not decode:
             return out
@@ -255,6 +289,9 @@ class InversablePipeline:
             latents = self.image_to_latents(images)
         b = latents.shape[0]
         ctx = self.empty_context(b)
+        f = 2 ** (len(self.preset.vae.block_out_channels) - 1)
+        added = self.default_added_cond(b, latents.shape[-2] * f,
+                                        latents.shape[-1] * f)
         return self._run(
             self.unet_params,
             jnp.asarray(latents),
@@ -266,6 +303,7 @@ class InversablePipeline:
             guidance_mode=False,
             invert=True,
             refine=refine,
+            added_cond=added,
         )
 
     # -- reference-pyc API parity (SURVEY.md §2.3) ---------------------------

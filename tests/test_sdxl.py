@@ -62,6 +62,32 @@ def test_xl_requires_added_cond():
         unet.init(jax.random.key(0), lat, jnp.asarray([1]), ctx)
 
 
+def test_tiny_xl_pipeline_roundtrip():
+    """Full SDXL-shaped pipeline: dual text encoders (concat context),
+    added_cond auto-synthesized, generate -> invert preserves the watermark."""
+    import numpy as np
+
+    from gswm.config import GSConfig
+    from gswm.core import bits as bitops
+    from gswm.core.decode import recover_message_bits
+    from gswm.core.embed import embed_latents
+    from gswm.pipelines import InversablePipeline
+
+    pipe = InversablePipeline("tiny-xl", rng=jax.random.key(0))
+    assert pipe.text2 is not None
+    ctx = pipe.empty_context(1)
+    assert ctx.shape[-1] == 48  # 16 + 32 concatenated
+
+    cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="xl",
+                   width=64, height=64, message_bits=32)
+    zT, msg = embed_latents(cfg, rng=jax.random.key(1))
+    x0 = pipe.generate(zT, guidance_scale=1.0, num_steps=8, decode=False)
+    z_back = pipe.invert(latents=x0, num_steps=8)
+    voted = np.asarray(recover_message_bits(z_back, cfg))[0]
+    acc = float(np.mean(voted == bitops.bytes_to_bits(msg)))
+    assert acc == 1.0, acc
+
+
 def test_per_level_depth_param_structure():
     unet = UNet2DCondition(TINY_XL)
     lat = jnp.zeros((1, 4, 8, 8))
