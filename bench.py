@@ -14,8 +14,12 @@ rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
 
 Env knobs: GSWM_BENCH_BATCH (default 64), GSWM_BENCH_STEPS (default 30),
 GSWM_BENCH_PRESET (default sd-2-1-base), GSWM_BENCH_RES (default 512).
-Measured so far on one v5e chip: batch 4 -> 4.8, batch 8 -> 6.8,
-batch 16 -> 10.0, batch 32 -> 18.6, batch 64 -> 29.2 imgs/sec/chip.
+
+Speed-of-light context: the SD2.1-base UNet forward is 787 GFLOPs/image at
+512x512 (measured via XLA cost analysis; params 865.9M, matching the real
+checkpoint), so 30-step inversion = 23.6 TFLOPs/image -> at the v5e's
+197 bf16 TFLOP/s peak the absolute ceiling is ~8.3 imgs/sec/chip; the
+measured matmul roofline through this tunnel is 162 TFLOP/s (82% peak).
 """
 
 from __future__ import annotations
@@ -44,7 +48,8 @@ def main():
     preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
     res = int(os.environ.get("GSWM_BENCH_RES", "512"))
 
-    pipe = InversablePipeline(preset, rng=jax.random.key(0))
+    pipe = InversablePipeline(preset, rng=jax.random.key(0),
+                              weights_dtype=jnp.bfloat16)
     cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="bench",
                    width=res, height=res, message_bits=256)
 
@@ -53,19 +58,26 @@ def main():
     # decode, extract.py:46-117) plus watermark embed.
     images = jax.random.uniform(jax.random.key(99), (batch, 3, res, res))
 
+    import numpy as np
+
     def one_pass(rng):
         zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
         z_back = pipe.invert(images=images, num_steps=steps, scheduler="DDIM")
         bits = recover_message_bits(z_back, cfg)
-        return zT, bits
+        # Force a HOST FETCH of the (tiny) result: on the tunneled 'axon'
+        # platform jax.block_until_ready returns before execution completes
+        # (verified: a 50x8k matmul chain "finishes" in 0.1 ms), so only a
+        # device->host read gives truthful wall-clock.  The fetch also folds
+        # zT in so the embed stage can't be dead-code-eliminated.
+        return np.asarray(bits), np.asarray(zT[:, 0, 0, 0])
 
     # warmup/compile
-    jax.block_until_ready(one_pass(jax.random.key(1)))
+    one_pass(jax.random.key(1))
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        jax.block_until_ready(one_pass(jax.random.key(2 + i)))
+        one_pass(jax.random.key(2 + i))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt

@@ -126,7 +126,9 @@ class Attention(nn.Module):
     heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
-    flash_min_seq: int = 4096
+    # GSWM_FLASH_MIN_SEQ overrides for kernel A/B experiments
+    flash_min_seq: int = int(__import__("os").environ.get(
+        "GSWM_FLASH_MIN_SEQ", "4096"))
 
     @nn.compact
     def __call__(self, x, context=None):

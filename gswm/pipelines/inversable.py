@@ -60,8 +60,12 @@ class InversablePipeline:
         preset: ModelPreset | str = "sd-2-1-base",
         model_dir: Optional[str] = None,
         dtype=jnp.bfloat16,
+        weights_dtype=None,
         rng: Optional[jax.Array] = None,
     ):
+        """``dtype`` is the compute dtype; ``weights_dtype`` optionally casts
+        the UNet/VAE params once at load (bf16 halves weight HBM traffic in
+        the scan — the reference itself runs fp16 weights, extract.py:48)."""
         if isinstance(preset, str):
             preset = PRESETS[preset]
         self.preset = preset
@@ -87,10 +91,16 @@ class InversablePipeline:
             self.unet_params = self.unet.init_params(
                 ru, context_len=preset.text.max_length
             )
-            vae_res = preset.vae.latent_channels  # any small spatial works
             img = jnp.zeros((1, preset.vae.in_channels, 32, 32))
             self.vae_params = self.vae.init(rv, img)
             self.text_params = self.text.params
+
+        if weights_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(weights_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            self.unet_params = cast(self.unet_params)
+            self.vae_params = cast(self.vae_params)
 
     # -- conditioning --------------------------------------------------------
 

@@ -27,13 +27,23 @@ from gswm.pipelines import InversablePipeline  # noqa: E402
 from gswm.utils.profiling import device_stats, stage, stage_report  # noqa: E402
 
 
+import numpy as np  # noqa: E402
+
+
+def _force(out):
+    """Truthful sync: on the tunneled axon platform block_until_ready is a
+    no-op, so fetch a tiny reduction of every output to the host."""
+    for leaf in jax.tree.leaves(out):
+        np.asarray(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+
+
 def timed(fn, *args, warmup=1, iters=3, **kw):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+        _force(fn(*args, **kw))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _force(out)
     return (time.perf_counter() - t0) / iters, out
 
 
