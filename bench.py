@@ -48,8 +48,9 @@ def main():
     preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
     res = int(os.environ.get("GSWM_BENCH_RES", "512"))
 
-    pipe = InversablePipeline(preset, rng=jax.random.key(0),
-                              weights_dtype=jnp.bfloat16)
+    # bf16 weight residency measured ~7% SLOWER than fp32 here (XLA already
+    # hoists the per-use casts out of the scan); keep fp32 master weights.
+    pipe = InversablePipeline(preset, rng=jax.random.key(0))
     cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="bench",
                    width=res, height=res, message_bits=256)
 

@@ -255,8 +255,11 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # nearest x2 as reshape+broadcast: pure layout ops, cheaper than a
+        # general gather-based resize
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 
