@@ -12,7 +12,7 @@ for its torch fp16 pipeline on a single A100 at the same 30-step setting
 (30 UNet forwards at ~40 ms each, plus VAE encode and per-image pipeline
 rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
 
-Env knobs: GSWM_BENCH_BATCH (default 64), GSWM_BENCH_STEPS (default 30),
+Env knobs: GSWM_BENCH_BATCH (default 128), GSWM_BENCH_STEPS (default 30),
 GSWM_BENCH_PRESET (default sd-2-1-base), GSWM_BENCH_RES (default 512).
 
 Speed-of-light context: the SD2.1-base UNet forward is 787 GFLOPs/image at
@@ -43,7 +43,7 @@ def main():
     from gswm.core.embed import embed_latents
     from gswm.pipelines import InversablePipeline
 
-    batch = int(os.environ.get("GSWM_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("GSWM_BENCH_BATCH", "128"))
     steps = int(os.environ.get("GSWM_BENCH_STEPS", "30"))
     preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
     res = int(os.environ.get("GSWM_BENCH_RES", "512"))

@@ -15,10 +15,16 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.sharding import PartitionSpec as P
+
+# Profiling aid: GSWM_ABLATE="attn"|"norm"|"ff" skips that component (wrong
+# numerics, same shapes) so bench deltas attribute scan time per component.
+_ABLATE = set(os.environ.get("GSWM_ABLATE", "").split(","))
 
 
 def with_sharding(x, axes):
@@ -49,6 +55,8 @@ class GroupNorm32(nn.GroupNorm):
     epsilon: float = 1e-5
 
     def __call__(self, x):  # parent __call__ is the compact method
+        if "norm" in _ABLATE:
+            return x
         dtype = x.dtype
         out = super().__call__(x.astype(jnp.float32))
         return out.astype(dtype)
@@ -216,6 +224,8 @@ class Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        if "attn" in _ABLATE:
+            return x
         b, h, w, c = x.shape
         residual = x
         x = GroupNorm32(self.norm_groups, name="norm")(x)
