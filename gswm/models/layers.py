@@ -199,15 +199,20 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + Attention(self.heads, self.head_dim, self.dtype, name="attn1")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        )
-        x = x + Attention(self.heads, self.head_dim, self.dtype, name="attn2")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
-        )
-        x = x + FeedForward(self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        )
+        if "sattn" not in _ABLATE:
+            x = x + Attention(self.heads, self.head_dim, self.dtype,
+                              name="attn1")(
+                nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            )
+        if "xattn" not in _ABLATE:
+            x = x + Attention(self.heads, self.head_dim, self.dtype,
+                              name="attn2")(
+                nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
+            )
+        if "ff" not in _ABLATE:
+            x = x + FeedForward(self.dtype, name="ff")(
+                nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            )
         return x
 
 

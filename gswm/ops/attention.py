@@ -26,37 +26,51 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float,
-                  valid_k: int):
-    """One (1, block_q, D) query tile against the full K/V for this head.
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
+                  scale: float, valid_k: int):
+    """One whole head per grid step: Q/K/V sit in VMEM once (no per-q-tile
+    K/V refetch from HBM — at 4096 tokens the old per-tile layout moved 16x
+    the necessary K/V bytes) and the online-softmax loop runs over VMEM.
     ``valid_k`` (static) masks the zero-padded tail of the key sequence."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    seq_q = q_ref.shape[1]
     seq_k = k_ref.shape[1]
-    bq, d = q.shape
+    d = q_ref.shape[2]
 
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    def q_tile(qi, _):
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        q = q * scale
 
-    def body(kb, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        if valid_k != seq_k:
-            col = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1
+        m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+        def body(kb, carry):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            if valid_k != seq_k:
+                col = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                s = jnp.where(col < valid_k, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32
             )
-            s = jnp.where(col < valid_k, s, -1e30)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+            return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, seq_k // block_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+        m, l, acc = jax.lax.fori_loop(0, seq_k // block_k, body,
+                                      (m0, l0, acc0))
+        o_ref[0, pl.ds(qi * block_q, block_q), :] = (acc / l).astype(
+            o_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(0, seq_q // block_q, q_tile, 0)
 
 
 @functools.partial(
@@ -67,21 +81,21 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
     bh, s, d = q.shape
     sk = k.shape[1]
     scale = d**-0.5
-    grid = (bh, s // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
-                               valid_k=valid_k)
+    grid = (bh,)
+    kernel = functools.partial(_flash_kernel, block_q=block_q,
+                               block_k=block_k, scale=scale, valid_k=valid_k)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
