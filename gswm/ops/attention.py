@@ -37,8 +37,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
     d = q_ref.shape[2]
 
     def q_tile(qi, _):
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        q = q * scale
+        # matmul inputs stay in the model dtype (bf16): the MXU runs native
+        # low-precision with fp32 accumulation; casting inputs to fp32 would
+        # silently fall back to multi-pass fp32 matmuls (~4x slower).
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
 
         m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -46,8 +49,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
 
         def body(kb, carry):
             m, l, acc = carry
-            k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
             if valid_k != seq_k:
                 col = kb * block_k + jax.lax.broadcasted_iota(
@@ -59,7 +62,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
             return m_new, l_new, acc_new
 
