@@ -89,6 +89,9 @@ def process_images_in_directory(
 
 
 def main(argv=None):
+    from gswm.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Apply distortions to images in a directory.")
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_dir_base", required=True)

@@ -45,6 +45,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from gswm.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     cfg = GSConfig(
         key_hex=args.key_hex,

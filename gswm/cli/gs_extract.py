@@ -144,6 +144,9 @@ def process_directory(pipe, cfg, args):
 
 
 def main(argv=None):
+    from gswm.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     cfg = make_config(args)
     pipe = make_pipeline(args)

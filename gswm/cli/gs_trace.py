@@ -51,6 +51,9 @@ def load_registry(path: str) -> list[dict]:
 
 
 def main(argv=None):
+    from gswm.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     records = load_registry(args.registry)
     if not records:

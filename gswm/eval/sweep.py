@@ -69,6 +69,12 @@ def run_sweep(
             absolute = relative_strength_to_absolute(rel, attack)
             attacked = dev.apply(images, attack, absolute,
                                  key=jax.random.fold_in(k_attack, hash(attack) % 2**31))
+            if attacked.shape[-2:] != images.shape[-2:]:
+                # size-changing attacks (scaling): extraction always resizes
+                # back to the nominal resolution first (extract.py:31-37)
+                import jax.image
+
+                attacked = jax.image.resize(attacked, images.shape, "cubic")
             z_back = pipe.invert(images=attacked, num_steps=num_steps,
                                  scheduler=scheduler)
             voted = np.asarray(recover_message_bits(z_back, cfg))

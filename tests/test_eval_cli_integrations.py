@@ -97,7 +97,7 @@ def test_a1111_noise_batch_decodes(tmp_path, monkeypatch):
 
 
 def test_cli_embed_and_distort(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
+    env = dict(os.environ, GSWM_PLATFORM="cpu",
                JAX_COMPILATION_CACHE_DIR="/tmp/gswm-jax-cache",
                PYTHONPATH="/root/repo")
     out = subprocess.run(

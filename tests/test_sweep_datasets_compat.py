@@ -24,10 +24,10 @@ def test_sweep_smoke(pipe, tmp_path):
                    width=16, height=16, vae_scale=2, message_bits=32)
     results = run_sweep(
         pipe, cfg, batch=2, num_steps=4,
-        attacks=("noise", "horizontal_flip"), strengths=(0.2,),
+        attacks=("noise", "horizontal_flip", "scaling"), strengths=(0.2,),
         out_jsonl=str(tmp_path / "sweep.jsonl"),
     )
-    assert len(results) == 2
+    assert len(results) == 3
     for r in results:
         assert 0.0 <= r.bit_accuracy_mean <= 1.0
         assert len(r.bit_accuracies) == 2
