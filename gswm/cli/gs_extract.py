@@ -91,6 +91,9 @@ def extract_batch(pipe, cfg, args, paths):
     imgs = load_images(paths, (args.width, args.height))
     z = pipe.invert(images=imgs, num_steps=args.num_inference_steps,
                     scheduler=args.scheduler, refine=args.refine)
+    from gswm.utils.debug import check_finite
+
+    check_finite(z, name=f"inverted latents ({paths[0]}...)")
     bins = decode_latents(z, cfg)
     if isinstance(bins, str):
         bins = [bins]
