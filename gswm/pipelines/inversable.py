@@ -5,7 +5,7 @@ plus its compiled-only InversableStableDiffusionPipeline (SURVEY.md §2.3),
 designed TPU-first:
 
   * the whole denoise / inversion loop is ONE ``lax.scan`` under ``jit`` —
-    static shapes, no per-step Python, donated latent buffer;
+    static shapes, no per-step Python;
   * jit cache keyed on (shape, steps, scheduler, guidance-mode, refine), so a
     10k-image sweep compiles once (the reference re-builds the pipeline per
     image, extract.py:56-60);
@@ -30,6 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gswm.models.configs import ModelPreset, PRESETS
+from gswm.models.text import TextEncoder
+from gswm.models.unet import UNet2DCondition
+from gswm.models.vae import AutoencoderKL
+from gswm.schedulers import SCHEDULERS, sd_schedule
+from gswm.schedulers.ddim import ddim_step, to_eps
+from gswm.schedulers.dpm import dpm_init_carry, dpm_step
+
 
 @dataclasses.dataclass
 class PipelineOutput:
@@ -42,14 +50,6 @@ class PipelineOutput:
     images: jax.Array  # (B, 3, H, W) in [0, 1]
     nsfw_content_detected: list
     init_latents: jax.Array  # the Z_T that seeded generation
-
-from gswm.models.configs import ModelPreset, PRESETS
-from gswm.models.text import TextEncoder
-from gswm.models.unet import UNet2DCondition
-from gswm.models.vae import AutoencoderKL
-from gswm.schedulers import SCHEDULERS, sd_schedule
-from gswm.schedulers.ddim import ddim_step, to_eps
-from gswm.schedulers.dpm import dpm_init_carry, dpm_step
 
 
 class InversablePipeline:
