@@ -134,9 +134,11 @@ class Attention(nn.Module):
     heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
-    # GSWM_FLASH_MIN_SEQ overrides for kernel A/B experiments
+    # 1024 measured best end-to-end (4.12 vs 3.88 imgs/sec at 4096): XLA's
+    # einsum attention materializes 5.4GB of fp32 logits per level-1 layer
+    # call at batch 128.  GSWM_FLASH_MIN_SEQ overrides for A/B experiments.
     flash_min_seq: int = int(__import__("os").environ.get(
-        "GSWM_FLASH_MIN_SEQ", "4096"))
+        "GSWM_FLASH_MIN_SEQ", "1024"))
 
     @nn.compact
     def __call__(self, x, context=None):
