@@ -84,7 +84,13 @@ def embed_latents_multikey(
     ks = batch_keystream_bits(keys, nonces, cfg.capacity_bits)
     cipher = jnp.asarray(payload) ^ ks
 
-    rng = rng if rng is not None else jax.random.key(0)
+    if rng is None:
+        # Mirror embed.py: unseeded means fresh entropy — a fixed default key
+        # would replicate u across serving batches and leak the watermark
+        # structure.
+        import os as _os
+
+        rng = jax.random.key(int.from_bytes(_os.urandom(4), "little"))
     u = jax.random.uniform(rng, (b, cfg.total_elements), dtype=jnp.float32)
     h, w = cfg.latent_hw
     shape = (cfg.channels, h, w)

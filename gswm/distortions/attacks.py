@@ -87,9 +87,9 @@ def apply_single_distortion(
         )
 
     if distortion_type == "rotation":
-        return image.rotate(-pick("rotation"), resample=Image.NEAREST)
-        # PIL rotates counter-clockwise; torchvision F.rotate is clockwise
-        # for positive angles on screen coords — sign flipped for parity.
+        # torchvision F.rotate and PIL Image.rotate are both counter-clockwise
+        # for positive angles — no sign flip.
+        return image.rotate(pick("rotation"), resample=Image.NEAREST)
 
     if distortion_type == "resizedcrop":
         scale = pick("resizedcrop")

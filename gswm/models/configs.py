@@ -95,8 +95,13 @@ SD_2_1_BASE = ModelPreset(
     unet=UNetConfig(cross_attn_dim=1024, num_heads=None, head_dim=64,
                     use_linear_projection=True),
     vae=VAEConfig(),
+    # The published stabilityai/stable-diffusion-2-1* text encoders ship
+    # pre-truncated to 23 layers (the penultimate layer is baked in);
+    # diffusers then uses last_hidden_state.  penultimate=True here would
+    # clip-skip twice.  Runtime clip-skip stays True only for SDXL, whose
+    # encoders ship full-depth.
     text=TextConfig(hidden_size=1024, num_layers=23, num_heads=16,
-                    hidden_act="gelu", penultimate=True),
+                    hidden_act="gelu", penultimate=False),
     prediction_type="epsilon",
     default_resolution=512,
 )

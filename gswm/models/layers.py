@@ -100,10 +100,14 @@ class ResnetBlock(nn.Module):
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
     use_time_emb: bool = True
+    # diffusers: UNet resnets norm_eps=1e-5, VAE resnets 1e-6 — must match or
+    # real-checkpoint VAE encodes drift from the reference pipeline.
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, temb: Optional[jax.Array] = None):
-        h = GroupNorm32(self.norm_groups, name="norm1")(x)
+        h = GroupNorm32(self.norm_groups, epsilon=self.norm_eps,
+                        name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -112,7 +116,8 @@ class ResnetBlock(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.norm_groups, name="norm2")(h)
+        h = GroupNorm32(self.norm_groups, epsilon=self.norm_eps,
+                        name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -235,7 +240,8 @@ class Transformer2D(nn.Module):
             return x
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm32(self.norm_groups, name="norm")(x)
+        # diffusers Transformer2DModel hardcodes GroupNorm eps=1e-6
+        x = GroupNorm32(self.norm_groups, epsilon=1e-6, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
@@ -259,9 +265,18 @@ class Transformer2D(nn.Module):
 class Downsample(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    # diffusers' VAE *encoder* downsample pads asymmetrically — F.pad
+    # (0,1,0,1) then a VALID stride-2 conv; the UNet downsample is symmetric
+    # pad=1.  Getting this wrong shifts every VAE-encoded latent by one pixel
+    # of receptive field and breaks extraction parity on real checkpoints.
+    asymmetric_pad: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.asymmetric_pad:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                           padding="VALID", dtype=self.dtype, name="conv")(x)
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
                        dtype=self.dtype, name="conv")(x)
 
@@ -291,7 +306,8 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm32(self.norm_groups, name="group_norm")(x)
+        # diffusers VAE mid-block attention group_norm eps=1e-6
+        x = GroupNorm32(self.norm_groups, epsilon=1e-6, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)

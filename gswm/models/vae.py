@@ -34,9 +34,12 @@ class EncoderBlock(nn.Module):
     def __call__(self, x):
         for i in range(self.layers):
             x = ResnetBlock(self.out_channels, self.norm_groups, self.dtype,
-                            use_time_emb=False, name=f"resnets_{i}")(x)
+                            use_time_emb=False, norm_eps=1e-6,
+                            name=f"resnets_{i}")(x)
         if self.add_downsample:
-            x = Downsample(self.out_channels, self.dtype, name="downsamplers_0")(x)
+            # diffusers VAE encoder: asymmetric (0,1,0,1) pad + VALID conv
+            x = Downsample(self.out_channels, self.dtype, asymmetric_pad=True,
+                           name="downsamplers_0")(x)
         return x
 
 
@@ -51,7 +54,8 @@ class DecoderBlock(nn.Module):
     def __call__(self, x):
         for i in range(self.layers):
             x = ResnetBlock(self.out_channels, self.norm_groups, self.dtype,
-                            use_time_emb=False, name=f"resnets_{i}")(x)
+                            use_time_emb=False, norm_eps=1e-6,
+                            name=f"resnets_{i}")(x)
         if self.add_upsample:
             x = Upsample(self.out_channels, self.dtype, name="upsamplers_0")(x)
         return x
@@ -65,10 +69,10 @@ class VAEMid(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = ResnetBlock(self.channels, self.norm_groups, self.dtype,
-                        use_time_emb=False, name="resnets_0")(x)
+                        use_time_emb=False, norm_eps=1e-6, name="resnets_0")(x)
         x = VAEAttention(self.norm_groups, self.dtype, name="attentions_0")(x)
         x = ResnetBlock(self.channels, self.norm_groups, self.dtype,
-                        use_time_emb=False, name="resnets_1")(x)
+                        use_time_emb=False, norm_eps=1e-6, name="resnets_1")(x)
         return x
 
 
@@ -88,7 +92,7 @@ class Encoder(nn.Module):
                              name=f"down_blocks_{i}")(x)
         x = VAEMid(cfg.block_out_channels[-1], cfg.norm_groups, self.dtype,
                    name="mid_block")(x)
-        x = GroupNorm32(cfg.norm_groups, name="conv_norm_out")(x)
+        x = GroupNorm32(cfg.norm_groups, epsilon=1e-6, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(x)
@@ -110,7 +114,7 @@ class Decoder(nn.Module):
             x = DecoderBlock(ch, cfg.layers_per_block + 1, cfg.norm_groups,
                              add_upsample=i < n - 1, dtype=self.dtype,
                              name=f"up_blocks_{i}")(x)
-        x = GroupNorm32(cfg.norm_groups, name="conv_norm_out")(x)
+        x = GroupNorm32(cfg.norm_groups, epsilon=1e-6, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(x)

@@ -185,22 +185,28 @@ class InversablePipeline:
                 t, a_eval, a_from, a_to, first = per_step
             else:
                 t, a_eval, a_from, a_to = per_step
+            # Each refine iteration must re-take THIS step from the same
+            # pre-step state: feeding an updated carry back into dpm_step
+            # makes prev_lambda == lam_s (r0 == 0 -> guard substitutes 1.0)
+            # and injects a spurious second-order term.
+            carry_in = dpm_carry
             eps = eval_eps(x, t, a_eval)
             if use_dpm:
-                x_next, dpm_carry = dpm_step(x, eps, a_from, a_to, dpm_carry,
+                x_next, new_carry = dpm_step(x, eps, a_from, a_to, carry_in,
                                              first)
             else:
                 x_next = ddim_step(x, eps, a_from, a_to)
+                new_carry = dpm_carry
             # fixed-point refinement (inversion only): eps at the target
             # timestep, re-estimated on the current x_next iterate.
             for _ in range(refine if invert else 0):
                 eps = eval_eps(x_next, t, a_eval)
                 if use_dpm:
-                    x_next, dpm_carry = dpm_step(x, eps, a_from, a_to,
-                                                 dpm_carry, first)
+                    x_next, new_carry = dpm_step(x, eps, a_from, a_to,
+                                                 carry_in, first)
                 else:
                     x_next = ddim_step(x, eps, a_from, a_to)
-            return (x_next, dpm_carry), None
+            return (x_next, new_carry), None
 
         xs = (plan.t_model, plan.alpha_eval, plan.alpha_from, plan.alpha_to)
         if use_dpm:

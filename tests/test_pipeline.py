@@ -46,22 +46,69 @@ def test_latent_denoise_invert_roundtrip(pipe):
     assert sign > 0.8, sign
 
 
-def test_full_image_roundtrip(pipe):
+@pytest.fixture(scope="module")
+def fitted_pipe():
+    """Tiny pipeline whose VAE is briefly fitted so encode approximately
+    inverts decode.  A *random* VAE destroys the latents entirely (any
+    image-roundtrip accuracy above 0.5 would be seed luck); a real SD VAE is
+    near-lossless for the posterior mean.  A few hundred Adam steps on
+    ``encode(clip(decode(z))) ~= z`` puts the tiny VAE in the same regime so
+    this test measures the full extract.py:31-43+46-70 chain, not luck."""
+    import optax
+
+    from gswm.models.vae import AutoencoderKL
+
+    pipe = InversablePipeline("tiny", rng=jax.random.key(0))
+    vae = pipe.vae
+
+    def loss_fn(params, z, scale):
+        img = vae.apply(params, z, method=AutoencoderKL.decode)
+        # generate() clips images to [0,1]; in [-1,1] space that is a clip
+        img = jnp.clip(img, -1.0, 1.0)
+        z_back = vae.apply(params, img, method=AutoencoderKL.encode)
+        return jnp.mean(((z_back - z) / scale) ** 2)
+
+    opt = optax.adam(1e-3)
+    params = pipe.vae_params
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, z, scale):
+        loss, g = jax.value_and_grad(loss_fn)(params, z, scale)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    rng = jax.random.key(42)
+    for _ in range(600):
+        rng, kz, ks = jax.random.split(rng, 3)
+        # Fit at the scale the test actually feeds the VAE: a random
+        # epsilon-UNet's DDIM trajectory telescopes x0 ~ x_T/sqrt(alpha_T)
+        # ~ 14x the Gaussian scale (real UNets cancel the noise; random
+        # ones don't).
+        scale = jax.random.uniform(ks, (16, 1, 1, 1), minval=8.0,
+                                   maxval=18.0)
+        z = scale * jax.random.normal(kz, (16, 4, 8, 8))
+        params, state, _ = step(params, state, z, scale)
+    pipe.vae_params = params
+    return pipe
+
+
+def test_full_image_roundtrip(fitted_pipe):
     """Z_T -> image (VAE decode) -> VAE encode -> invert -> decode bits.
     BASELINE config 2 shape, tiny scale.  The tiny VAE has 2 levels, so its
     spatial factor is 2 (not SD's 8): 8x8 latent <-> 16x16 image."""
     cfg = _cfg(width=16, height=16, vae_scale=2)
     zT, msg = embed_latents(cfg, rng=jax.random.key(6))
-    img = pipe.generate(zT, guidance_scale=1.0, num_steps=20, decode=True)
+    img = fitted_pipe.generate(zT, guidance_scale=1.0, num_steps=20,
+                               decode=True)
     assert img.shape == (1, 3, 16, 16)
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
-    z_back = pipe.invert(images=img, num_steps=20)
+    z_back = fitted_pipe.invert(images=img, num_steps=20)
     voted = np.asarray(recover_message_bits(z_back, cfg))[0]
     acc = float(np.mean(voted == bitops.bytes_to_bits(msg)))
-    # random VAE: encode(decode(x)) is far from identity, but the 64x
-    # redundancy + majority vote should still recover most bits; with real
-    # SD weights this is ~1.0 (README.md:15).
-    assert acc > 0.55, acc
+    # fitted VAE + exact-inversion solver: the vote should recover nearly
+    # all bits (real SD weights give ~1.0, README.md:15; this fit gives 1.0)
+    assert acc > 0.9, acc
 
 
 def test_guidance_path_runs(pipe):
