@@ -154,8 +154,9 @@ def _chacha_pallas_kernel(scalars_ref, out_ref):
         out_ref[w, :, :] = out[w]
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks",))
-def _keystream_words_pallas(key_words, counter0_lo, counter0_hi, nonce_words, n_blocks):
+@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _keystream_words_pallas(key_words, counter0_lo, counter0_hi, nonce_words,
+                            n_blocks, interpret: bool = False):
     tile = _SUBLANES * _LANES
     n_tiles = -(-n_blocks // tile)
     scalars = jnp.concatenate(
@@ -175,6 +176,7 @@ def _keystream_words_pallas(key_words, counter0_lo, counter0_hi, nonce_words, n_
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((16, n_tiles * _SUBLANES, _LANES), jnp.uint32),
+        interpret=interpret,
     )(scalars)
     # (16, rows, 128) -> (n_blocks, 16)
     words = out.reshape(16, n_tiles * tile).T
@@ -201,7 +203,11 @@ def keystream_words(
     nw = jnp.asarray(nonce_words)
     backend = backend or _default_backend()
     if backend == "pallas":
-        return _keystream_words_pallas(kw, lo, hi, nw, n_blocks)
+        # interpreter mode off-TPU so the kernel has CI coverage on CPU
+        # (same pattern as gswm.ops.attention)
+        interpret = jax.default_backend() != "tpu"
+        return _keystream_words_pallas(kw, lo, hi, nw, n_blocks,
+                                       interpret=interpret)
     return _keystream_words_xla(kw, lo, hi, nw, n_blocks)
 
 

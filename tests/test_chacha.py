@@ -1,8 +1,6 @@
 """ChaCha20 kernel parity: RFC-style vectors + live `cryptography` output
 (SURVEY.md §4 "unit tests")."""
 
-import os
-
 import numpy as np
 import pytest
 
@@ -55,12 +53,18 @@ def test_keystream_bits_stream_order():
     np.testing.assert_array_equal(want, got)
 
 
-@pytest.mark.skipif(
-    os.environ.get("JAX_PLATFORMS", "cpu") == "cpu",
-    reason="Pallas TPU kernel needs a TPU device",
-)
 def test_pallas_keystream_matches():
+    # Runs everywhere: compiled kernel on TPU, Pallas interpreter on CPU —
+    # the kernel body gets CI coverage either way (VERDICT r1 weak #5).
     key = bytes(range(32))
     nonce = bytes(range(16))
     golden = chacha.chacha20_keystream(key, nonce, 65536)
     assert golden == chacha.chacha20_keystream_jax(key, nonce, 65536, backend="pallas")
+
+
+def test_pallas_counter_carry_and_partial_tile():
+    # non-tile-multiple byte count + a 32-bit counter boundary, pallas path
+    key = bytes(range(32))
+    nonce = (0xFFFFFFFF).to_bytes(8, "little") + bytes(range(8))
+    golden = chacha.chacha20_keystream(key, nonce, 3000)
+    assert golden == chacha.chacha20_keystream_jax(key, nonce, 3000, backend="pallas")
