@@ -75,46 +75,77 @@ def dpm_init_carry(shape, dtype=jnp.float32):
     return (jnp.zeros(shape, dtype), jnp.float32(0.0), jnp.array(False))
 
 
-def _first_order_flags(n: int, lower_order_final: bool = True) -> np.ndarray:
+def _first_order_flags(n: int, lower_order_final: bool) -> np.ndarray:
     flags = np.zeros(n, dtype=bool)
-    flags[0] = True
+    flags[0] = True  # no previous model output yet (lower_order_nums < 1)
     if lower_order_final and n > 1:
         flags[-1] = True
     return flags
 
 
 def dpm_plan(schedule: NoiseSchedule, num_steps: int) -> ScanPlan:
-    """Generation plan (descending), model eval at the source timestep."""
-    ts = schedule.timesteps(num_steps)
-    ratio = schedule.num_train_timesteps // num_steps
-    prev = ts - ratio
-    a_from = jnp.asarray(schedule.alpha_at(ts), jnp.float32)
+    """Generation plan — exact diffusers DPMSolverMultistepScheduler
+    semantics (the scheduler family extract.py:49-54 swaps in):
+
+      * 'linspace' timestep spacing: ``linspace(0, T-1, N+1).round()``
+        descending with the trailing 0 dropped (NOT the DDIM 'leading'
+        spacing);
+      * ``final_sigmas_type='zero'``: the last transition targets sigma = 0
+        (alpha_to = 1), which both makes the final update return the
+        predicted x0 and forces the final step to first order;
+      * model eval at the source timestep.
+
+    Pinned against a NumPy re-derivation of the diffusers algorithm in
+    tests/test_dpm_diffusers_parity.py.
+    """
+    T = schedule.num_train_timesteps
+    ts = np.linspace(0, T - 1, num_steps + 1).round().astype(np.int64)
+    ts = ts[::-1][:-1].copy()  # descending, N values
+    a_src = schedule.alpha_at(ts)
+    a_tgt = np.concatenate([schedule.alpha_at(ts[1:]), [1.0]])
+    a_from = jnp.asarray(a_src, jnp.float32)
     return ScanPlan(
         t_model=jnp.asarray(ts, jnp.int32),
         alpha_eval=a_from,
         alpha_from=a_from,
-        alpha_to=jnp.asarray(schedule.alpha_at(prev), jnp.float32),
+        alpha_to=jnp.asarray(a_tgt, jnp.float32),
         extras={
-            "first_order": jnp.asarray(_first_order_flags(num_steps)),
+            "first_order": jnp.asarray(
+                _first_order_flags(num_steps, lower_order_final=True)
+            ),
         },
     )
 
 
 def dpm_inverse_plan(schedule: NoiseSchedule, num_steps: int) -> ScanPlan:
-    """Inversion plan: mirrored pairs, ascending, model eval at the target
-    timestep (same convention and rationale as ddim_inverse_plan)."""
-    ts = schedule.timesteps(num_steps)
-    ratio = schedule.num_train_timesteps // num_steps
-    prev = ts - ratio
-    ts_asc = ts[::-1]
-    prev_asc = prev[::-1]
-    a_to = jnp.asarray(schedule.alpha_at(ts_asc), jnp.float32)
+    """Inversion plan — exact diffusers DPMSolverMultistepInverseScheduler
+    semantics (extract.py:49-50):
+
+      * ascending 'linspace' timesteps ``linspace(0, T-1, N+1).round()[:-1]``
+        with the final transition targeting the noisiest timestep T-1
+        (sigma_max);
+      * model eval at the SOURCE timestep of each transition, exactly like
+        the diffusers denoise-loop drive of the inverse scheduler (NOT the
+        target-eval convention our DDIM inverse uses);
+      * ``lower_order_final`` only applies below 15 steps (the inverse
+        scheduler has no final_sigmas_type='zero' clause — its final sigma
+        is sigma_max, not zero).
+    """
+    T = schedule.num_train_timesteps
+    ts = np.linspace(0, T - 1, num_steps + 1).round().astype(np.int64)
+    ts_asc = ts[:-1].copy()  # ascending, N values; final target is T-1
+    a_src = schedule.alpha_at(ts_asc)
+    a_tgt = schedule.alpha_at(ts[1:])
+    a_from = jnp.asarray(a_src, jnp.float32)
     return ScanPlan(
-        t_model=jnp.asarray(ts_asc, jnp.int32),  # eval at target, like DDIM
-        alpha_eval=a_to,
-        alpha_from=jnp.asarray(schedule.alpha_at(prev_asc), jnp.float32),
-        alpha_to=a_to,
+        t_model=jnp.asarray(ts_asc, jnp.int32),
+        alpha_eval=a_from,
+        alpha_from=a_from,
+        alpha_to=jnp.asarray(a_tgt, jnp.float32),
         extras={
-            "first_order": jnp.asarray(_first_order_flags(num_steps)),
+            "first_order": jnp.asarray(
+                _first_order_flags(num_steps,
+                                   lower_order_final=num_steps < 15)
+            ),
         },
     )
