@@ -115,6 +115,27 @@ SD_2_1_768 = ModelPreset(
     default_resolution=768,
 )
 
+# SD v2-0 (README.md:17 claims v1-4/v2-0/v2-1 coverage): identical
+# architecture family to 2.1-base — same UNet/VAE/OpenCLIP-H-23 text encoder,
+# epsilon prediction at 512.  Only the weights differ.
+SD_2_0_BASE = ModelPreset(
+    name="sd-2-0-base",
+    unet=SD_2_1_BASE.unet,
+    vae=VAEConfig(),
+    text=SD_2_1_BASE.text,
+    prediction_type="epsilon",
+    default_resolution=512,
+)
+
+SD_2_0_768 = ModelPreset(
+    name="sd-2-0",
+    unet=SD_2_1_BASE.unet,
+    vae=VAEConfig(),
+    text=SD_2_1_BASE.text,
+    prediction_type="v_prediction",
+    default_resolution=768,
+)
+
 SDXL_BASE = ModelPreset(
     name="sdxl-base",
     unet=UNetConfig(
@@ -176,5 +197,5 @@ TINY = ModelPreset(
     default_resolution=64,
 )
 
-PRESETS = {p.name: p for p in (SD_1_4, SD_2_1_BASE, SD_2_1_768, SDXL_BASE,
-                               TINY, TINY_XL)}
+PRESETS = {p.name: p for p in (SD_1_4, SD_2_0_BASE, SD_2_0_768, SD_2_1_BASE,
+                               SD_2_1_768, SDXL_BASE, TINY, TINY_XL)}
