@@ -158,14 +158,16 @@ class Attention(nn.Module):
             return with_sharding(t, ("dp", None, "tp", None))
 
         q, k, v = split(q), split(k), split(v)
-        use_flash = (
-            q.shape[1] >= self.flash_min_seq
-            and jax.default_backend() == "tpu"
+        # GSWM_FORCE_FLASH=1 forces the kernel path off-TPU (interpret mode)
+        # so TP x flash numerics are testable on the virtual CPU mesh.
+        use_flash = q.shape[1] >= self.flash_min_seq and (
+            jax.default_backend() == "tpu"
+            or os.environ.get("GSWM_FORCE_FLASH") == "1"
         )
         if use_flash:
-            from gswm.ops.attention import flash_attention
+            from gswm.ops.attention import flash_attention_sharded
 
-            out = flash_attention(q, k, v)
+            out = flash_attention_sharded(q, k, v)
         else:
             scale = self.head_dim**-0.5
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale

@@ -250,6 +250,45 @@ def flash_attention(
     return jnp.transpose(out.reshape(b, h, sq0, d), (0, 2, 1, 3))
 
 
+def flash_attention_sharded(q, k, v, **kw):
+    """flash_attention partitioned over a 'tp' mesh axis — by heads.
+
+    How the kernel partitions: attention is embarrassingly parallel over the
+    head axis, so under a tensor-parallel mesh the pallas_call runs inside
+    ``shard_map`` with q/k/v head-sharded — each device executes the kernel
+    on its local heads with NO collectives (the Megatron all-reduce happens
+    at the row-parallel to_out projection outside the kernel, see
+    gswm.sharding.mesh._spec_for_path).  GSPMD cannot partition an opaque
+    pallas_call itself, so without this wrapper a tp mesh would replicate
+    the full attention on every device.
+
+    Falls back to the plain call when no mesh / tp=1 / heads not divisible.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        names = getattr(mesh, "axis_names", ()) or ()
+    except Exception:
+        return flash_attention(q, k, v, **kw)
+    if "tp" not in names or mesh.shape["tp"] == 1:
+        return flash_attention(q, k, v, **kw)
+    if q.shape[2] % mesh.shape["tp"] != 0:
+        return flash_attention(q, k, v, **kw)
+    batch_axis = (
+        "dp"
+        if "dp" in names and q.shape[0] % mesh.shape["dp"] == 0
+        else None
+    )
+    spec = jax.sharding.PartitionSpec(batch_axis, None, "tp", None)
+    fn = jax.shard_map(
+        functools.partial(flash_attention, **kw),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
 def reference_attention(q, k, v):
     """Plain fp32 attention for parity tests; same (B, S, H, D) layout."""
     d = q.shape[-1]
