@@ -25,7 +25,7 @@ from gswm.utils.io import write_jsonlines
 DEFAULT_ATTACKS = (
     "compression", "blurring", "noise", "brightness", "contrast", "elastic",
     "erasing", "resizedcrop", "scaling", "randomcrop", "rotation",
-    "horizontal_flip", "vertical_flip", "togray", "invert",
+    "horizontal_flip", "vertical_flip", "togray", "invert", "reversed",
 )
 
 
@@ -39,6 +39,27 @@ class SweepResult:
     tpr_at_1e6: float
 
 
+def _host_jpeg(images, quality: int):
+    """Exact libjpeg round-trip via PIL (`distortions`:175-184 semantics) —
+    the report-grade compression path; the on-device DCT JPEG is the fast
+    approximation (SURVEY.md §7.3: "ship both, report with the exact one")."""
+    from PIL import Image
+
+    arr = np.asarray(images)  # (B, 3, H, W) in [0, 1]
+    out = []
+    for x in arr:
+        im = Image.fromarray(
+            (np.transpose(x, (1, 2, 0)) * 255).round().astype(np.uint8)
+        )
+        from gswm.distortions.attacks import apply_single_distortion
+
+        im = apply_single_distortion(im, "compression", float(quality))
+        out.append(
+            np.transpose(np.asarray(im, np.float32) / 255.0, (2, 0, 1))
+        )
+    return np.stack(out)
+
+
 def run_sweep(
     pipe,
     cfg: GSConfig,
@@ -50,11 +71,17 @@ def run_sweep(
     scheduler: str = "DDIM",
     out_jsonl: Optional[str] = None,
     guidance_scale: float = 1.0,
+    jpeg: str = "device",
 ) -> list[SweepResult]:
+    """``jpeg`` selects the compression implementation: 'device' = batched
+    DCT round-trip on-TPU (fast, approximate), 'host' = exact libjpeg via
+    PIL (what the reference's bench uses)."""
     import jax
 
     from gswm.distortions import device as dev
 
+    if jpeg not in ("device", "host"):
+        raise ValueError(f"jpeg must be 'device' or 'host', got {jpeg!r}")
     rng = rng if rng is not None else jax.random.key(0)
     k_embed, k_attack = jax.random.split(rng)
 
@@ -67,8 +94,21 @@ def run_sweep(
     for attack in attacks:
         for rel in strengths:
             absolute = relative_strength_to_absolute(rel, attack)
-            attacked = dev.apply(images, attack, absolute,
-                                 key=jax.random.fold_in(k_attack, hash(attack) % 2**31))
+            if attack == "reversed":
+                # regeneration attack (`distortions`:302-322): DDIM-invert
+                # the image and re-generate, strength = step count —
+                # device-native through the same pipeline
+                steps = max(int(absolute), 1)
+                z_regen = pipe.invert(images=images, num_steps=steps)
+                attacked = pipe.generate(z_regen, guidance_scale=1.0,
+                                         num_steps=steps)
+            elif attack == "compression" and jpeg == "host":
+                attacked = jax.numpy.asarray(
+                    _host_jpeg(images, int(absolute))
+                )
+            else:
+                attacked = dev.apply(images, attack, absolute,
+                                     key=jax.random.fold_in(k_attack, hash(attack) % 2**31))
             if attacked.shape[-2:] != images.shape[-2:]:
                 # size-changing attacks (scaling): extraction always resizes
                 # back to the nominal resolution first (extract.py:31-37)

@@ -1,0 +1,62 @@
+"""Fit a random-init VAE so encode approximately inverts decode.
+
+Offline there are no real SD weights (the environment has no checkpoints),
+and a *random* VAE destroys latents entirely — any image-space roundtrip
+accuracy above chance would be seed luck.  A real SD VAE is near-lossless
+for the posterior mean, so a few hundred Adam steps on
+``encode(clip(decode(z))) ~= z`` put a tiny VAE in the same regime: closed
+loops through image space (tests, robustness sweeps) then measure the
+extraction chain (extract.py:31-43 + 46-70 equivalents), not luck.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
+                      batch: int = 16, lr: float = 1e-3, rng=None,
+                      latent_hw=(8, 8)):
+    """Train ``pipe.vae_params`` in place so encode inverts decode at the
+    latent scales the pipeline actually produces.
+
+    ``scale_range`` matters: a random epsilon-UNet's DDIM trajectory
+    telescopes x0 ~ x_T / sqrt(alpha_T) ~ 14x the unit-Gaussian scale (real
+    UNets cancel the noise; random ones do not), so the fit must cover that
+    regime for closed-loop runs.  Returns the pipe.
+    """
+    import optax
+
+    from gswm.models.vae import AutoencoderKL
+
+    vae = pipe.vae
+    c = pipe.preset.vae.latent_channels
+
+    def loss_fn(params, z, scale):
+        img = vae.apply(params, z, method=AutoencoderKL.decode)
+        img = jnp.clip(img, -1.0, 1.0)  # generate() clips images to [0, 1]
+        z_back = vae.apply(params, img, method=AutoencoderKL.encode)
+        return jnp.mean(((z_back - z) / scale) ** 2)
+
+    opt = optax.adam(lr)
+    params = pipe.vae_params
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, z, scale):
+        loss, g = jax.value_and_grad(loss_fn)(params, z, scale)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    rng = rng if rng is not None else jax.random.key(42)
+    h, w = latent_hw
+    for _ in range(steps):
+        rng, kz, ks = jax.random.split(rng, 3)
+        scale = jax.random.uniform(ks, (batch, 1, 1, 1),
+                                   minval=scale_range[0],
+                                   maxval=scale_range[1])
+        z = scale * jax.random.normal(kz, (batch, c, h, w))
+        params, state, _ = step(params, state, z, scale)
+    pipe.vae_params = params
+    return pipe

@@ -79,6 +79,34 @@ def test_traceability_search():
     assert max(others) < 0.7
 
 
+def test_traceability_1k_device_matches_native():
+    """1000-record registry (BASELINE config-5 scale / 10): the device-
+    batched scorer must agree with the native per-candidate loop on every
+    score and rank the true record first.  chunk=256 exercises chunking."""
+    from gswm.eval.trace import find_source_device
+
+    rng = np.random.default_rng(11)
+    records = []
+    target_idx = 137
+    lat = None
+    for i in range(1000):
+        key, nonce, msg = rng.bytes(32), rng.bytes(16), rng.bytes(32)
+        records.append({"key_hex": key.hex(), "nonce_hex": nonce.hex(),
+                        "message_hex": msg.hex(), "message_length": 256})
+        if i == target_idx:
+            cfg = GSConfig(key_hex=key.hex(), nonce_hex=nonce.hex(),
+                           message_bits=256)
+            lat_arr, _ = embed_latents(cfg, rng=jax.random.key(5),
+                                       message_bytes=msg)
+            lat = np.asarray(lat_arr)[0]
+
+    best_n, acc_n, accs_n = find_source(lat, records)
+    best_d, acc_d, accs_d = find_source_device(lat, records, chunk=256)
+    assert best_n == best_d == target_idx
+    assert acc_n == acc_d == 1.0
+    np.testing.assert_allclose(accs_n, accs_d, atol=1e-6)
+
+
 def test_detection_statistics():
     assert bit_match_pvalue(256, 256) < 1e-70
     assert 0.4 < bit_match_pvalue(129, 256) < 0.6

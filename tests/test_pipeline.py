@@ -54,43 +54,10 @@ def fitted_pipe():
     near-lossless for the posterior mean.  A few hundred Adam steps on
     ``encode(clip(decode(z))) ~= z`` puts the tiny VAE in the same regime so
     this test measures the full extract.py:31-43+46-70 chain, not luck."""
-    import optax
-
-    from gswm.models.vae import AutoencoderKL
+    from gswm.utils.fitting import fit_vae_roundtrip
 
     pipe = InversablePipeline("tiny", rng=jax.random.key(0))
-    vae = pipe.vae
-
-    def loss_fn(params, z, scale):
-        img = vae.apply(params, z, method=AutoencoderKL.decode)
-        # generate() clips images to [0,1]; in [-1,1] space that is a clip
-        img = jnp.clip(img, -1.0, 1.0)
-        z_back = vae.apply(params, img, method=AutoencoderKL.encode)
-        return jnp.mean(((z_back - z) / scale) ** 2)
-
-    opt = optax.adam(1e-3)
-    params = pipe.vae_params
-    state = opt.init(params)
-
-    @jax.jit
-    def step(params, state, z, scale):
-        loss, g = jax.value_and_grad(loss_fn)(params, z, scale)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(params, updates), state, loss
-
-    rng = jax.random.key(42)
-    for _ in range(600):
-        rng, kz, ks = jax.random.split(rng, 3)
-        # Fit at the scale the test actually feeds the VAE: a random
-        # epsilon-UNet's DDIM trajectory telescopes x0 ~ x_T/sqrt(alpha_T)
-        # ~ 14x the Gaussian scale (real UNets cancel the noise; random
-        # ones don't).
-        scale = jax.random.uniform(ks, (16, 1, 1, 1), minval=8.0,
-                                   maxval=18.0)
-        z = scale * jax.random.normal(kz, (16, 4, 8, 8))
-        params, state, _ = step(params, state, z, scale)
-    pipe.vae_params = params
-    return pipe
+    return fit_vae_roundtrip(pipe)
 
 
 def test_full_image_roundtrip(fitted_pipe):
