@@ -43,10 +43,20 @@ def main():
     from gswm.core.embed import embed_latents
     from gswm.pipelines import InversablePipeline
 
-    batch = int(os.environ.get("GSWM_BENCH_BATCH", "128"))
     steps = int(os.environ.get("GSWM_BENCH_STEPS", "30"))
     preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
     res = int(os.environ.get("GSWM_BENCH_RES", "512"))
+    # OOM-aware: clamp the (requested or default) batch to the measured-safe
+    # ceiling for this resolution (gswm.utils.memory; VERDICT r1 next #3).
+    from gswm.utils.memory import suggest_batch
+
+    requested = int(os.environ.get("GSWM_BENCH_BATCH", "128"))
+    batch = suggest_batch(res, requested=requested)
+    if batch != requested:
+        import sys
+
+        print(f"# batch clamped {requested} -> {batch} "
+              f"(HBM policy at {res}x{res})", file=sys.stderr)
 
     # bf16 weight residency measured ~7% SLOWER than fp32 here (XLA already
     # hoists the per-use casts out of the scan); keep fp32 master weights.

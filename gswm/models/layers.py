@@ -127,6 +127,45 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class ProjWeights(nn.Module):
+    """Projection parameters with nn.Dense's exact tree layout
+    (``<name>/kernel`` [+ ``bias``]) but returned as raw arrays, so callers
+    can CONCATENATE several projections into one matmul.  XLA does not merge
+    separate matmuls on the same input; fusing q/k/v into a (C, 3*inner)
+    weight turns three narrow MXU ops (N=320 pads to 3 tiles, 17% waste)
+    into one wide one — while checkpoints keep loading by rename only."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (in_dim, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def fused_projection(x, weights, dtype):
+    """One matmul through horizontally-concatenated projection weights;
+    returns the per-projection outputs (split on the feature axis)."""
+    kernels = [k for k, _ in weights]
+    w = jnp.concatenate(kernels, axis=1).astype(dtype)
+    out = jnp.dot(x.astype(dtype), w)
+    if any(b is not None for _, b in weights):
+        b = jnp.concatenate(
+            [jnp.zeros((k.shape[1],), w.dtype) if b is None else b.astype(dtype)
+             for k, b in weights]
+        )
+        out = out + b
+    splits, acc = [], 0
+    for k in kernels[:-1]:
+        acc += k.shape[1]
+        splits.append(acc)
+    return jnp.split(out, splits, axis=-1)
+
+
 class Attention(nn.Module):
     """Multi-head attention (self when context is None, cross otherwise).
 
@@ -134,7 +173,11 @@ class Attention(nn.Module):
     softmax pipeline is already HBM-optimal there) and the Pallas flash
     kernel (gswm.ops.attention) once the query sequence reaches
     ``flash_min_seq`` — at SDXL-scale (16k tokens) the O(S^2) logits tensor
-    must never materialize."""
+    must never materialize.
+
+    Projections are fused: self-attention computes q/k/v in ONE matmul,
+    cross-attention fuses k/v (weights are scan constants, so XLA hoists the
+    concatenation out of the denoise loop)."""
 
     heads: int
     head_dim: int
@@ -149,9 +192,14 @@ class Attention(nn.Module):
     def __call__(self, x, context=None):
         ctx = x if context is None else context
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        wq = ProjWeights(inner, name="to_q")(x.shape[-1])
+        wk = ProjWeights(inner, name="to_k")(ctx.shape[-1])
+        wv = ProjWeights(inner, name="to_v")(ctx.shape[-1])
+        if context is None:
+            q, k, v = fused_projection(x, (wq, wk, wv), self.dtype)
+        else:
+            (q,) = fused_projection(x, (wq,), self.dtype)
+            k, v = fused_projection(ctx, (wk, wv), self.dtype)
 
         def split(t):
             t = t.reshape(t.shape[0], t.shape[1], self.heads, self.head_dim)
@@ -311,9 +359,10 @@ class VAEAttention(nn.Module):
         # diffusers VAE mid-block attention group_norm eps=1e-6
         x = GroupNorm32(self.norm_groups, epsilon=1e-6, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        wq = ProjWeights(c, use_bias=True, name="to_q")(c)
+        wk = ProjWeights(c, use_bias=True, name="to_k")(c)
+        wv = ProjWeights(c, use_bias=True, name="to_v")(c)
+        q, k, v = fused_projection(x, (wq, wk, wv), self.dtype)
         logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c**-0.5)
         probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
         out = jnp.einsum("bqk,bkc->bqc", probs, v)

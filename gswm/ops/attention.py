@@ -28,8 +28,95 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 # Empirical: the scoped-vmem compiler limit is 16MB and the resident layout
 # additionally needs softmax scratch; 8MB of Q/K/V/O (double-buffered) is the
-# largest that reliably compiles.  Tests shrink this to force streamk.
+# largest that reliably compiles.  Tests shrink this to force the fallback
+# tiers (kv-resident, then streaming-K).
 _RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
+# The KV-resident tier's VMEM demand is estimated explicitly (Mosaic buffers
+# K/V ~3x even when their block index is constant, and the fori_loop's fp32
+# logits/exp temporaries count against scoped vmem — measured 16.5MB at 16k
+# tokens against the 16MB ceiling); stay under 14MB to leave slack.
+_KVRES_VMEM_BUDGET = 14 * 1024 * 1024
+
+_LOG2E = 1.4426950408889634
+# 2^f on [0, 1), least-squares in relative error; pinned by
+# tests/test_ops_attention.py against np.exp.
+_EXP2_P3 = (0.0778232, 0.22586806, 0.69617239, 0.99986365)
+
+
+def _exp_fast(x):
+    """exp(x) for x <= 0 as exponent-bit 2^n times a cubic 2^f polynomial.
+
+    The flash kernel is bound by the VPU's transcendental unit (measured
+    ~78G exp/s at SD lvl0 shapes, round-1 bench log) — softmax exp, not the
+    MXU matmuls, sets its speed.  This variant runs entirely on full-rate
+    mul/add/int lanes.  Max relative error 1.4e-4 over [-80, 0]: 28x below
+    the bf16 ulp (3.9e-3) the weights are immediately cast to, so the bf16
+    kernel path is numerically indistinguishable from transcendental exp.
+    Only used when the model dtype is bf16; fp32 inputs keep jnp.exp.
+    """
+    t = jnp.maximum(x, -80.0) * _LOG2E
+    n = jnp.floor(t)
+    f = t - n
+    a3, a2, a1, a0 = _EXP2_P3
+    p = ((a3 * f + a2) * f + a1) * f + a0
+    pow2n = jax.lax.bitcast_convert_type(
+        (n.astype(jnp.int32) + 127) << 23, jnp.float32
+    )
+    return p * pow2n
+
+
+def _use_fast_exp(dtype) -> bool:
+    return dtype == jnp.bfloat16
+
+
+def _softmax_exp(x, dtype):
+    """Online-softmax exp: polynomial exp2 on the bf16 model path (the VPU
+    transcendental unit is the kernel's bottleneck — see _exp_fast), exact
+    jnp.exp for fp32 inputs (parity tests / precision-critical callers)."""
+    if _use_fast_exp(dtype):
+        return _exp_fast(x)
+    return jnp.exp(x)
+
+
+def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int):
+    """Shared online-softmax recurrence: one (scaled) query tile against
+    every key block of k_ref/v_ref (whole head resident in VMEM).  Returns
+    the normalized (block_q, d) output tile.
+
+    Matmul inputs stay in the model dtype (bf16): the MXU runs native
+    low-precision with fp32 accumulation; casting inputs to fp32 would
+    silently fall back to multi-pass fp32 matmuls (~4x slower)."""
+    block_q, d = q.shape
+    seq_k = k_ref.shape[1]
+    p_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if valid_k != seq_k:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(col < valid_k, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # s - m_new <= 0 so exp lands in [0,1]; bf16 weights cost <0.4%.
+        p = _softmax_exp(s - m_new, q.dtype).astype(p_dtype)
+        alpha = _softmax_exp(m - m_new, q.dtype)
+        l_new = l * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
+                                    keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, seq_k // block_k, body, (m0, l0, acc0))
+    return acc / l
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
@@ -39,54 +126,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
     the necessary K/V bytes) and the online-softmax loop runs over VMEM.
     ``valid_k`` (static) masks the zero-padded tail of the key sequence."""
     seq_q = q_ref.shape[1]
-    seq_k = k_ref.shape[1]
-    d = q_ref.shape[2]
 
     def q_tile(qi, _):
-        # matmul inputs stay in the model dtype (bf16): the MXU runs native
-        # low-precision with fp32 accumulation; casting inputs to fp32 would
-        # silently fall back to multi-pass fp32 matmuls (~4x slower).
         q = q_ref[0, pl.ds(qi * block_q, block_q), :]
         q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
-
-        m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((block_q, 1), jnp.float32)
-        acc0 = jnp.zeros((block_q, d), jnp.float32)
-
-        def body(kb, carry):
-            m, l, acc = carry
-            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            if valid_k != seq_k:
-                col = kb * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1
-                )
-                s = jnp.where(col < valid_k, s, -1e30)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            # exp in the model dtype when it's bf16: the kernel is
-            # VPU(softmax)-bound and bf16 packs 2x the lanes; s - m <= 0 so
-            # exp lands in [0,1] — the 8-bit mantissa costs <0.4% on
-            # attention weights.  fp32 inputs keep an fp32 softmax (tests).
-            p_dtype = (jnp.bfloat16 if q_ref.dtype == jnp.bfloat16
-                       else jnp.float32)
-            p = jnp.exp((s - m_new).astype(p_dtype))
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
-                                        keepdims=True)
-            acc_new = acc * alpha + jnp.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
-            return m_new, l_new, acc_new
-
-        m, l, acc = jax.lax.fori_loop(0, seq_k // block_k, body,
-                                      (m0, l0, acc0))
-        o_ref[0, pl.ds(qi * block_q, block_q), :] = (acc / l).astype(
-            o_ref.dtype
-        )
+        out = _attend_kv_loop(q, k_ref, v_ref, block_k=block_k,
+                              valid_k=valid_k)
+        o_ref[0, pl.ds(qi * block_q, block_q), :] = out.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, seq_q // block_q, q_tile, 0)
+
+
+def _flash_kernel_kvres(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                        scale: float, valid_k: int):
+    """KV-resident / Q-streamed tier: grid (bh, n_q_tiles) with K/V block
+    index constant along the q dimension, so Pallas fetches each head's K/V
+    from HBM once and pipelines query tiles through it.  Fills the gap
+    between the whole-head-resident layout (needs Q+K+V in VMEM — too big at
+    768x768's 9216 tokens) and streaming-K (refetch-free but pays scratch
+    rescales per (q,k) grid step): HBM traffic stays optimal while VMEM only
+    holds K, V and one q/o tile."""
+    q = q_ref[0]
+    q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+    out = _attend_kv_loop(q, k_ref, v_ref, block_k=block_k, valid_k=valid_k)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -101,7 +165,8 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
 
     # VMEM budget: Pallas double-buffers every grid input, so the
     # head-resident layout costs ~2*(Q+K+V+O) bytes.  Above the budget fall
-    # back to streaming K/V (necessary at SDXL 16k).
+    # back to the KV-resident tier (K/V once per head, q tiles streamed —
+    # covers 768x768's 9216 tokens and SDXL's 16k), then to streaming K/V.
     resident_bytes = 2 * (2 * s + 2 * sk) * d * itemsize
     if resident_bytes <= _RESIDENT_VMEM_BUDGET:
         grid = (bh,)
@@ -120,6 +185,33 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, s, d), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v)
+
+    kvres_bytes = (
+        3 * 2 * sk * d * itemsize          # K + V, ~triple-buffered
+        + 2 * 2 * block_q * d * itemsize   # q/o tiles, double-buffered
+        + 2 * block_q * block_k * 4        # fp32 logits + exp temporaries
+        + block_q * d * 4                  # fp32 accumulator
+    )
+    if kvres_bytes <= _KVRES_VMEM_BUDGET and s % block_q == 0:
+        kernel = functools.partial(_flash_kernel_kvres, block_k=block_k,
+                                   scale=scale, valid_k=valid_k)
+        return pl.pallas_call(
+            kernel,
+            grid=(bh, s // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                # constant along i: fetched once per head, stays resident
+                pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             interpret=interpret,
@@ -180,8 +272,8 @@ def _flash_kernel_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     m = m_ref[:]
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     p_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    p = jnp.exp((s - m_new).astype(p_dtype))
-    alpha = jnp.exp(m - m_new)
+    p = _softmax_exp(s - m_new, q_ref.dtype).astype(p_dtype)
+    alpha = _softmax_exp(m - m_new, q_ref.dtype)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
                                           keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(

@@ -32,6 +32,7 @@ def main():
     cases = [
         ("SD lvl0 self", b, 4096, 5, 64, 4096),
         ("SD lvl0 cross", b, 4096, 5, 64, 77),
+        ("SD 768 lvl0 self", max(b // 4, 1), 9216, 5, 64, 9216),
         ("SDXL 16k self", max(b // 16, 1), 16384, 10, 64, 16384),
     ]
     for name, bb, sq, h, d, sk in cases:
