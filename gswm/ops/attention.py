@@ -22,10 +22,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Swept on v5e at SD lvl0 shapes (128x4096x5x64): (512,1024) runs 92 ms vs
-# 142 ms for (256,256) — bigger tiles amortize the VPU softmax rescales.
+# Swept on v5e at SD lvl0 shapes (128x4096x5x64), fp32-exp kernel:
+# (512,2048) 82.7 ms > (512,1024) 86.1 > (256,4096) 84.6 > (1024,1024) 88.1;
+# (1024,2048) crashes the compiler.  Bigger K tiles amortize the softmax
+# rescales until VMEM pressure bites.
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 2048
 # Empirical: the scoped-vmem compiler limit is 16MB and the resident layout
 # additionally needs softmax scratch; 8MB of Q/K/V/O (double-buffered) is the
 # largest that reliably compiles.  Tests shrink this to force the fallback
@@ -37,45 +39,13 @@ _RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 # tokens against the 16MB ceiling); stay under 14MB to leave slack.
 _KVRES_VMEM_BUDGET = 14 * 1024 * 1024
 
-_LOG2E = 1.4426950408889634
-# 2^f on [0, 1), least-squares in relative error; pinned by
-# tests/test_ops_attention.py against np.exp.
-_EXP2_P3 = (0.0778232, 0.22586806, 0.69617239, 0.99986365)
-
-
-def _exp_fast(x):
-    """exp(x) for x <= 0 as exponent-bit 2^n times a cubic 2^f polynomial.
-
-    The flash kernel is bound by the VPU's transcendental unit (measured
-    ~78G exp/s at SD lvl0 shapes, round-1 bench log) — softmax exp, not the
-    MXU matmuls, sets its speed.  This variant runs entirely on full-rate
-    mul/add/int lanes.  Max relative error 1.4e-4 over [-80, 0]: 28x below
-    the bf16 ulp (3.9e-3) the weights are immediately cast to, so the bf16
-    kernel path is numerically indistinguishable from transcendental exp.
-    Only used when the model dtype is bf16; fp32 inputs keep jnp.exp.
-    """
-    t = jnp.maximum(x, -80.0) * _LOG2E
-    n = jnp.floor(t)
-    f = t - n
-    a3, a2, a1, a0 = _EXP2_P3
-    p = ((a3 * f + a2) * f + a1) * f + a0
-    pow2n = jax.lax.bitcast_convert_type(
-        (n.astype(jnp.int32) + 127) << 23, jnp.float32
-    )
-    return p * pow2n
-
-
-def _use_fast_exp(dtype) -> bool:
-    return dtype == jnp.bfloat16
-
-
-def _softmax_exp(x, dtype):
-    """Online-softmax exp: polynomial exp2 on the bf16 model path (the VPU
-    transcendental unit is the kernel's bottleneck — see _exp_fast), exact
-    jnp.exp for fp32 inputs (parity tests / precision-critical callers)."""
-    if _use_fast_exp(dtype):
-        return _exp_fast(x)
-    return jnp.exp(x)
+# Softmax exp precision: ALWAYS fp32, never the model dtype.  Measured on
+# v5e (A/B, docs/BENCH.md): Mosaic's bf16 exp is the slow path — fp32 exp
+# runs SD lvl0 (b128, 4096 tokens) at 83 ms vs 92 ms for bf16 exp, and
+# SDXL 16k streaming at 116 ms vs 353 ms.  A cubic exp2 polynomial on
+# mul/add lanes (err 1.4e-4) was also tried and measured SLOWER than the
+# hardware transcendental (107/117/159 ms vs 83/90/116 ms) — the VPU exp
+# unit is not this kernel's bottleneck once inputs are fp32.
 
 
 def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int):
@@ -106,8 +76,8 @@ def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int):
             s = jnp.where(col < valid_k, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         # s - m_new <= 0 so exp lands in [0,1]; bf16 weights cost <0.4%.
-        p = _softmax_exp(s - m_new, q.dtype).astype(p_dtype)
-        alpha = _softmax_exp(m - m_new, q.dtype)
+        p = jnp.exp(s - m_new).astype(p_dtype)
+        alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
                                     keepdims=True)
         acc_new = acc * alpha + jnp.dot(
@@ -272,8 +242,8 @@ def _flash_kernel_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     m = m_ref[:]
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     p_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    p = _softmax_exp(s - m_new, q_ref.dtype).astype(p_dtype)
-    alpha = _softmax_exp(m - m_new, q_ref.dtype)
+    p = jnp.exp(s - m_new).astype(p_dtype)
+    alpha = jnp.exp(m - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
                                           keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
@@ -312,10 +282,12 @@ def flash_attention(
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
-    # Small key sets (cross-attention: 77 CLIP tokens) don't amortize the
-    # blockwise machinery — measured 74 ms vs a trivial einsum at SD lvl0
-    # shapes; the logits tensor is tiny (S x 77), so use plain attention
-    # (matmuls in the model dtype, fp32 softmax).
+    # Small key sets (cross-attention: 77 CLIP tokens) stay on XLA's einsum.
+    # Measured on v5e (SD lvl0, b128): einsum 33-52 ms; a dedicated
+    # single-pass pallas kernel was tried in BOTH layouts — q-tiled grid
+    # (590 ms) and whole-Q-per-head grid (977 ms) — the per-grid-step
+    # pipeline overhead swamps the tiny per-step work, so blockwise
+    # machinery LOSES when the logits tensor is this small.
     if sk < 512:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -75,20 +75,50 @@ def test_kv_resident_bf16(monkeypatch):
     )
 
 
-def test_exp_fast_accuracy():
-    """The polynomial exp2 must stay well under the bf16 ulp (3.9e-3) over
-    the full online-softmax input range [-80, 0], incl. the -inf init of the
-    running max and the -1e30 masking sentinel."""
-    from gswm.ops.attention import _exp_fast
+def test_single_head_wide_dim_matches_reference():
+    """VAE mid-block shape: one head, d = C = 512 (streamk tier at this
+    size) — the layout the VAEAttention flash route uses."""
+    kq, kk, kv = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(kq, (1, 1024, 1, 512), jnp.float32)
+    k = jax.random.normal(kk, (1, 1024, 1, 512), jnp.float32)
+    v = jax.random.normal(kv, (1, 1024, 1, 512), jnp.float32)
+    got = flash_attention(q, k, v, block_q=256, block_k=256, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
 
-    x = -jnp.linspace(0.0, 80.0, 100001, dtype=jnp.float32)
-    got = np.asarray(_exp_fast(x), np.float64)
-    want = np.exp(np.asarray(x, np.float64))
-    rel = np.abs(got / want - 1.0)
-    assert rel.max() < 3e-4, rel.max()
-    assert float(_exp_fast(jnp.float32(-jnp.inf))) == pytest.approx(0.0, abs=1e-30)
-    assert float(_exp_fast(jnp.float32(-1e30))) == pytest.approx(0.0, abs=1e-30)
-    assert float(_exp_fast(jnp.float32(0.0))) == pytest.approx(1.0, rel=3e-4)
+
+def test_vae_attention_flash_route_matches_einsum(monkeypatch):
+    """VAEAttention's flash route (hw >= 1024, single head d=C) must equal
+    its einsum path."""
+    import gswm.models.layers as L
+
+    va = L.VAEAttention(dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(8), (1, 32, 32, 64), jnp.float32)
+    params = va.init(jax.random.key(9), x)
+    base = va.apply(params, x)
+    monkeypatch.setenv("GSWM_FORCE_FLASH", "1")
+    monkeypatch.setattr(L, "_VAE_FLASH_MIN_TOKENS", 512)
+    flash = va.apply(params, x)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_small_key_set_matches_reference():
+    """Cross-attention fast path (sk < 512 -> einsum; blockwise kernels
+    measured 10x slower there, see attention.py) with an unaligned 77-token
+    key set, bf16 and fp32."""
+    kq, kk, kv = jax.random.split(jax.random.key(6), 3)
+    for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.06)):
+        q = jax.random.normal(kq, (2, 300, 2, 64), dtype)
+        k = jax.random.normal(kk, (2, 77, 2, 64), dtype)
+        v = jax.random.normal(kv, (2, 77, 2, 64), dtype)
+        got = flash_attention(q, k, v, interpret=True)
+        want = reference_attention(q.astype(jnp.float32),
+                                   k.astype(jnp.float32),
+                                   v.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=atol)
 
 
 def test_flash_bf16():

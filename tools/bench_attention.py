@@ -19,12 +19,23 @@ sys.path.insert(0, ".")
 from gswm.ops.attention import flash_attention  # noqa: E402
 
 
-def timed(fn, iters=5):
-    np.asarray(jnp.sum(fn()))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(jnp.sum(fn()))
-    return (time.perf_counter() - t0) / iters
+def timed(fn, iters=12):
+    """Per-call device time with the tunnel's fixed dispatch+fetch latency
+    cancelled out: enqueue n async executions, fetch only the last result
+    (the stream serializes them), and difference two batch sizes.  The
+    ~25-30 ms constant RPC overhead of the axon tunnel otherwise swamps
+    small kernels (a 2 ms matmul 'measures' 32 ms with per-call fetches)."""
+    def run(n):
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        np.asarray(jnp.sum(out))
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t_small, t_large = run(2), run(2 + iters)
+    return (t_large - t_small) / iters
 
 
 def main():
