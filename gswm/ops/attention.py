@@ -342,6 +342,16 @@ def flash_attention(
     bq = min(bq, block_q)
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     bk = min(bk, block_k)
+    if block_k == DEFAULT_BLOCK_K:
+        # When the whole head fits VMEM (resident tier), full-row K blocks
+        # collapse the online loop to one iteration: 43.0 ms vs 45.7 at SD
+        # lvl0 (b128, 4096 tokens).  Capped at 4096 so the fp32 logits tile
+        # stays inside scoped VMEM; explicit block_k overrides win.
+        itemsize = jnp.dtype(q.dtype).itemsize
+        sk_pad = max(128, 1 << (sk - 1).bit_length())
+        sq_pad = -(-sq // bq) * bq
+        if 2 * (2 * sq_pad + 2 * sk_pad) * d * itemsize <= _RESIDENT_VMEM_BUDGET:
+            bk = min(4096, sk_pad)
 
     def to_bhsd(t):
         return jnp.transpose(t, (0, 2, 1, 3)).reshape(b * h, t.shape[1], d)

@@ -265,13 +265,23 @@ class InversablePipeline:
     # VAE activations at 512x512 are the memory peak of the extraction path
     # (first encoder block: B*512*512*128 floats); chunking the batch keeps
     # HBM flat while the UNet loop still sees the full batch.  Chunk 32
-    # measured 7.24 ms/img vs 10.15 at chunk 8 (v5e, 512x512) — larger
-    # chunks amortize the small-conv launch overhead until HBM pressure.
+    # measured 7.24 ms/img vs 10.15 at chunk 8 (v5e, 512x512); the budget
+    # scales inversely with pixel count (chunk 32 at 768x768 = 4.8GB of
+    # first-block activations alone — OOMs a 16GB chip).
     vae_chunk: int = 32
+
+    def _vae_chunk_for(self, x) -> int:
+        hw = x.shape[-2] * x.shape[-1]
+        if x.shape[1] == self.preset.vae.latent_channels:
+            # decode path: activations blow up to image size at the output
+            f = 2 ** (len(self.preset.vae.block_out_channels) - 1)
+            hw *= f * f
+        scale = max(1.0, hw / (512 * 512))
+        return max(4, int(self.vae_chunk / scale) & ~3)
 
     def _vae_chunked(self, x, method):
         b = x.shape[0]
-        c = self.vae_chunk
+        c = self._vae_chunk_for(x)
         if b <= c:
             return self.vae.apply(self.vae_params, x, method=method)
         pad = (-b) % c
