@@ -51,7 +51,11 @@ def main():
     from gswm.utils.memory import suggest_batch
 
     requested = int(os.environ.get("GSWM_BENCH_BATCH", "128"))
-    batch = suggest_batch(res, requested=requested)
+    # GSWM_BENCH_FORCE_BATCH=1 bypasses the policy (for probing new anchors)
+    if os.environ.get("GSWM_BENCH_FORCE_BATCH") == "1":
+        batch = requested
+    else:
+        batch = suggest_batch(res, requested=requested)
     if batch != requested:
         import sys
 

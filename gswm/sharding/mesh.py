@@ -10,19 +10,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    dp: Optional[int] = None, tp: int = 1, devices=None
+    dp: Optional[int] = None, tp: int = 1, sp: int = 1, devices=None
 ) -> Mesh:
-    """(dp, tp) mesh over the available devices; dp defaults to
-    n_devices // tp.  dp rides the outer (DCN-friendlier) axis, tp the inner
-    (ICI-contiguous) one."""
+    """(dp, tp[, sp]) mesh over the available devices; dp defaults to
+    n_devices // (tp*sp).  dp rides the outer (DCN-friendlier) axis; tp and
+    sp (sequence-parallel, for gswm.ops.ring_attention) ride the inner
+    (ICI-contiguous) ones.  The sp axis is only materialized when sp > 1 so
+    existing 2-axis callers see the same mesh as before."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp={dp*tp} != n_devices={n}")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        dp = n // (tp * sp)
+    if dp * tp * sp != n:
+        raise ValueError(f"dp*tp*sp={dp*tp*sp} != n_devices={n}")
+    if sp == 1:
+        arr = np.asarray(devices).reshape(dp, tp)
+        return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

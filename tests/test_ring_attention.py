@@ -1,0 +1,87 @@
+"""Ring attention (sequence-parallel, gswm.ops.ring_attention) on the
+virtual 8-device CPU mesh.
+
+The long-context story SURVEY.md §5 scoped: shard the latent sequence over
+an `sp` mesh axis, rotate K/V shards around the ring with ppermute, exact
+online-softmax across ring steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gswm.ops.attention import reference_attention
+from gswm.ops.ring_attention import ring_attention
+from gswm.sharding import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _qkv(b=2, s=512, h=2, d=32, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(jax.random.normal(k, (b, s, h, d), dtype) for k in ks)
+
+
+def test_ring_matches_reference_sp8():
+    q, k, v = _qkv()
+    want = np.asarray(reference_attention(q, k, v))
+    mesh = make_mesh(sp=8)
+    assert mesh.axis_names == ("dp", "tp", "sp")
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(jax.jit(ring_attention)(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_dp_x_sp():
+    q, k, v = _qkv(b=4, seed=1)
+    want = np.asarray(reference_attention(q, k, v))
+    mesh = make_mesh(dp=2, sp=4)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(jax.jit(ring_attention)(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_output_stays_sequence_sharded():
+    q, k, v = _qkv(seed=2)
+    mesh = make_mesh(sp=8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with jax.sharding.set_mesh(mesh):
+        spec = NamedSharding(mesh, P(None, "sp", None, None))
+        qs, ks_, vs = (jax.device_put(t, spec) for t in (q, k, v))
+        out = jax.jit(ring_attention)(qs, ks_, vs)
+        assert "sp" in str(out.sharding.spec)
+
+
+def test_ring_falls_back_without_mesh():
+    q, k, v = _qkv(s=256, seed=3)
+    got = np.asarray(ring_attention(q, k, v))
+    want = np.asarray(reference_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_falls_back_on_indivisible_seq():
+    # S=300 not divisible by sp=8 -> single-device path, still correct
+    q, k, v = _qkv(s=300, seed=4)
+    mesh = make_mesh(sp=8)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(ring_attention(q, k, v))
+    want = np.asarray(reference_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_bf16():
+    q, k, v = _qkv(seed=5, dtype=jnp.bfloat16)
+    want = np.asarray(
+        reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32)
+        )
+    )
+    mesh = make_mesh(sp=8)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(jax.jit(ring_attention)(q, k, v), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.06)
