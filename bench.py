@@ -12,7 +12,8 @@ for its torch fp16 pipeline on a single A100 at the same 30-step setting
 (30 UNet forwards at ~40 ms each, plus VAE encode and per-image pipeline
 rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
 
-Env knobs: GSWM_BENCH_BATCH (default 128), GSWM_BENCH_STEPS (default 30),
+Env knobs: GSWM_BENCH_BATCH (default 160), GSWM_BENCH_STEPS (default 30),
+GSWM_BENCH_SCHED (DDIM | DPMs),
 GSWM_BENCH_PRESET (default sd-2-1-base), GSWM_BENCH_RES (default 512).
 
 Speed-of-light context: the SD2.1-base UNet forward is 787 GFLOPs/image at
@@ -44,13 +45,14 @@ def main():
     from gswm.pipelines import InversablePipeline
 
     steps = int(os.environ.get("GSWM_BENCH_STEPS", "30"))
+    sched = os.environ.get("GSWM_BENCH_SCHED", "DDIM")
     preset = os.environ.get("GSWM_BENCH_PRESET", "sd-2-1-base")
     res = int(os.environ.get("GSWM_BENCH_RES", "512"))
     # OOM-aware: clamp the (requested or default) batch to the measured-safe
     # ceiling for this resolution (gswm.utils.memory; VERDICT r1 next #3).
     from gswm.utils.memory import suggest_batch
 
-    requested = int(os.environ.get("GSWM_BENCH_BATCH", "128"))
+    requested = int(os.environ.get("GSWM_BENCH_BATCH", "160"))
     # GSWM_BENCH_FORCE_BATCH=1 bypasses the policy (for probing new anchors)
     if os.environ.get("GSWM_BENCH_FORCE_BATCH") == "1":
         batch = requested
@@ -77,7 +79,7 @@ def main():
 
     def one_pass(rng):
         zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
-        z_back = pipe.invert(images=images, num_steps=steps, scheduler="DDIM")
+        z_back = pipe.invert(images=images, num_steps=steps, scheduler=sched)
         bits = recover_message_bits(z_back, cfg)
         # Force a HOST FETCH of the (tiny) result: on the tunneled 'axon'
         # platform jax.block_until_ready returns before execution completes
@@ -99,7 +101,7 @@ def main():
     n_chips = jax.device_count()
     value = imgs_per_sec / n_chips
     print(json.dumps({
-        "metric": f"embed+{steps}-step DDIM-inversion extract throughput "
+        "metric": f"embed+{steps}-step {sched}-inversion extract throughput "
                   f"({preset} arch @ {res}x{res}, batch {batch})",
         "value": round(value, 4),
         "unit": "imgs/sec/chip",

@@ -19,8 +19,8 @@ from __future__ import annotations
 # scan + chunked VAE: largest batch that runs / smallest that OOMs.
 # (res, max_ok_batch) — refined whenever a new measurement lands.
 _MEASURED_V5E_16GB = {
-    512: 128,   # 256 -> RESOURCE_EXHAUSTED (docs/BENCH.md)
-    768: 24,    # 48 -> crash (docs/BENCH.md); 24 measured safe
+    512: 160,   # 160 measured OK r2 (4.49 imgs/s); 256 RESOURCE_EXHAUSTED r1
+    768: 32,    # 32 measured OK r2 (1.37 imgs/s); 48 crashed r1 pre-chunking
 }
 
 _WEIGHTS_GB = 3.5  # fp32 sd-2-1-base UNet+VAE resident params
