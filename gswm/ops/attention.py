@@ -381,6 +381,10 @@ def flash_attention_sharded(q, k, v, **kw):
     pallas_call itself, so without this wrapper a tp mesh would replicate
     the full attention on every device.
 
+    A sequence-parallel mesh axis ('sp' > 1) takes precedence: the sequence
+    is the axis worth sharding once latents outgrow a chip (SDXL 16k+), and
+    gswm.ops.ring_attention rotates K/V shards over the ICI ring.
+
     Falls back to the plain call when no mesh / tp=1 / heads not divisible.
     """
     try:
@@ -388,6 +392,12 @@ def flash_attention_sharded(q, k, v, **kw):
         names = getattr(mesh, "axis_names", ()) or ()
     except Exception:
         return flash_attention(q, k, v, **kw)
+    if ("sp" in names and mesh.shape["sp"] > 1
+            and q.shape[1] % mesh.shape["sp"] == 0
+            and k.shape[1] % mesh.shape["sp"] == 0):
+        from gswm.ops.ring_attention import ring_attention
+
+        return ring_attention(q, k, v)
     if "tp" not in names or mesh.shape["tp"] == 1:
         return flash_attention(q, k, v, **kw)
     if q.shape[2] % mesh.shape["tp"] != 0:

@@ -73,6 +73,19 @@ def test_ring_falls_back_on_indivisible_seq():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+def test_model_attention_routes_to_ring_on_sp_mesh(monkeypatch):
+    """The UNet Attention layer (via flash_attention_sharded) must pick the
+    ring path when an sp>1 mesh is active and produce the same numbers."""
+    from gswm.ops.attention import flash_attention_sharded
+
+    q, k, v = _qkv(seed=6)
+    want = np.asarray(reference_attention(q, k, v))
+    mesh = make_mesh(sp=8)
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(jax.jit(flash_attention_sharded)(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
 def test_ring_bf16():
     q, k, v = _qkv(seed=5, dtype=jnp.bfloat16)
     want = np.asarray(

@@ -14,6 +14,12 @@ flips, crops) drop to ~0.5 without the real model's error-correcting
 prior, exactly as expected.
 
 Run:  JAX_PLATFORMS=cpu python tools/run_robustness_sweep.py [--jpeg host]
+
+Chip-scale variant (sd-2-1-base arch at 512x512 on the TPU, VERDICT r1 #6's
+second half — same caveat about random weights):
+
+  python tools/run_robustness_sweep.py --preset sd-2-1-base --platform tpu \
+      --out benchmarks/robustness_sweep_sd21arch_tpu.jsonl
 """
 
 from __future__ import annotations
@@ -30,24 +36,35 @@ def main():
     ap.add_argument("--jpeg", choices=("device", "host"), default="host")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--preset", default="tiny")
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument("--out", default="benchmarks/robustness_sweep_tiny.jsonl")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
 
     from gswm.config import GSConfig
     from gswm.eval.sweep import DEFAULT_ATTACKS, run_sweep
     from gswm.pipelines import InversablePipeline
-    from gswm.utils.fitting import fit_vae_roundtrip
 
-    pipe = InversablePipeline("tiny", rng=jax.random.key(0))
-    print("fitting tiny VAE for image-roundtrip fidelity ...", flush=True)
-    fit_vae_roundtrip(pipe)
+    pipe = InversablePipeline(args.preset, rng=jax.random.key(0))
+    if args.preset == "tiny":
+        from gswm.utils.fitting import fit_vae_roundtrip
 
-    cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="lthero",
-                   width=32, height=32, vae_scale=2, message_bits=32)
+        print("fitting tiny VAE for image-roundtrip fidelity ...", flush=True)
+        fit_vae_roundtrip(pipe)
+        cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16,
+                       message="lthero", width=32, height=32, vae_scale=2,
+                       message_bits=32)
+    else:
+        cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16,
+                       message="lthero", width=512, height=512,
+                       message_bits=256)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     print(f"running {len(DEFAULT_ATTACKS)} attacks x 5 strengths ...",
