@@ -22,7 +22,11 @@ from gswm.distortions.attacks import relative_strength_to_absolute
 from gswm.eval.detection import tpr_at_fpr
 from gswm.utils.io import write_jsonlines
 
+# "none" is the lossless control (BASELINE.md row 1: 100% bit accuracy with
+# no distortion) — it pins the sweep's ceiling so attack rows read relative
+# to what the model/VAE pair can recover at all.
 DEFAULT_ATTACKS = (
+    "none",
     "compression", "blurring", "noise", "brightness", "contrast", "elastic",
     "erasing", "resizedcrop", "scaling", "randomcrop", "rotation",
     "horizontal_flip", "vertical_flip", "togray", "invert", "reversed",
@@ -92,9 +96,12 @@ def run_sweep(
 
     results = []
     for attack in attacks:
-        for rel in strengths:
-            absolute = relative_strength_to_absolute(rel, attack)
-            if attack == "reversed":
+        for rel in ((0.0,) if attack == "none" else strengths):
+            absolute = (0.0 if attack == "none"
+                        else relative_strength_to_absolute(rel, attack))
+            if attack == "none":
+                attacked = images
+            elif attack == "reversed":
                 # regeneration attack (`distortions`:302-322): DDIM-invert
                 # the image and re-generate, strength = step count —
                 # device-native through the same pipeline
