@@ -64,9 +64,16 @@ def main():
         print(f"# batch clamped {requested} -> {batch} "
               f"(HBM policy at {res}x{res})", file=sys.stderr)
 
-    # bf16 weight residency measured ~7% SLOWER than fp32 here (XLA already
-    # hoists the per-use casts out of the scan); keep fp32 master weights.
-    pipe = InversablePipeline(preset, rng=jax.random.key(0))
+    # bf16 weight residency measured ~7% SLOWER than fp32 at SD2.1 scale
+    # (XLA already hoists the per-use casts out of the scan) — fp32 master
+    # weights by default.  SDXL's 10.3GB of fp32 params do NOT fit a 16GB
+    # chip next to 16k-token activations, so GSWM_BENCH_WEIGHTS_DTYPE=bf16
+    # enables the halved-residency mode for that config.
+    wd = os.environ.get("GSWM_BENCH_WEIGHTS_DTYPE")
+    pipe = InversablePipeline(
+        preset, rng=jax.random.key(0),
+        weights_dtype=jnp.bfloat16 if wd == "bf16" else None,
+    )
     cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="bench",
                    width=res, height=res, message_bits=256)
 
