@@ -13,8 +13,10 @@ for its torch fp16 pipeline on a single A100 at the same 30-step setting
 rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
 
 Env knobs: GSWM_BENCH_BATCH (default 160), GSWM_BENCH_STEPS (default 30),
-GSWM_BENCH_SCHED (DDIM | DPMs),
-GSWM_BENCH_PRESET (default sd-2-1-base), GSWM_BENCH_RES (default 512).
+GSWM_BENCH_SCHED (DDIM | DPMs), GSWM_BENCH_PRESET (default sd-2-1-base),
+GSWM_BENCH_RES (default 512), GSWM_BENCH_WEIGHTS_DTYPE (fp32 | bf16 —
+bf16 halves weight residency; required for sdxl-base on a 16GB chip),
+GSWM_BENCH_FORCE_BATCH=1 (bypass the HBM batch policy when probing).
 
 Speed-of-light context: the SD2.1-base UNet forward is 787 GFLOPs/image at
 512x512 (measured via XLA cost analysis; params 865.9M, matching the real
@@ -70,6 +72,9 @@ def main():
     # chip next to 16k-token activations, so GSWM_BENCH_WEIGHTS_DTYPE=bf16
     # enables the halved-residency mode for that config.
     wd = os.environ.get("GSWM_BENCH_WEIGHTS_DTYPE")
+    if wd not in (None, "", "fp32", "bf16"):
+        raise SystemExit(
+            f"GSWM_BENCH_WEIGHTS_DTYPE must be 'bf16' or 'fp32', got {wd!r}")
     pipe = InversablePipeline(
         preset, rng=jax.random.key(0),
         weights_dtype=jnp.bfloat16 if wd == "bf16" else None,

@@ -1,12 +1,24 @@
-"""Blockwise (flash) attention for long latent sequences.
+"""Blockwise (flash) attention for latent self-attention sequences.
 
-At SD resolutions (<= 4k tokens) XLA's fused softmax attention is already
-HBM-optimal for inference, so the default model path uses plain einsum
-attention (gswm.models.layers.Attention).  At SDXL-scale — 4x128x128 latents
-= 16,384 tokens — the O(S^2) logits tensor (16k x 16k x heads) blows past
-VMEM and wastes HBM bandwidth; this kernel computes attention blockwise with
-the online-softmax recurrence so nothing larger than (block_q, block_k) ever
-materializes.
+The model path (gswm.models.layers.Attention) routes query sequences
+>= 1024 tokens here — XLA's einsum attention materializes the O(S^2) fp32
+logits tensor in HBM (5.4GB per SD lvl1 layer call at batch 128; simply
+impossible at SDXL's 16k tokens), while this kernel keeps everything at
+(block_q, block_k) tiles.  Three layouts, chosen by VMEM demand:
+
+  1. head-resident — whole Q/K/V per head in VMEM (SD 512x512, 4096 tok);
+  2. KV-resident / Q-streamed — K/V once per head, query tiles pipelined
+     through the grid (768x768's 9216 tok);
+  3. streaming-K — (q-tile, k-tile) grid with fp32 scratch accumulators,
+     any length (SDXL 16k: 68 ms, 80 TFLOP/s measured).
+
+Softmax: fp32 exp always (Mosaic's bf16 exp measured ~4x slower); on the
+bf16 model path the running row-max and its rescale chain are dropped
+entirely — logits clamped at 60 cannot overflow the fp32 accumulator, and
+the max-reduce passes over the logits matrix were the measured cost.  fp32
+inputs keep the exact recurrence (parity oracle / tests).  Below 512 keys
+(cross-attention's 77 CLIP tokens) einsum stays: blockwise kernels measured
+10-30x SLOWER there (per-grid-step overhead vs tiny per-step work).
 
 Layout: (BH, S, D) with D padded to lane width.  fp32 accumulation
 throughout (softmax statistics are precision-critical near the watermark

@@ -39,6 +39,12 @@ from gswm.schedulers.ddim import ddim_step, to_eps
 from gswm.schedulers.dpm import dpm_init_carry, dpm_step
 
 
+def _cast_floating(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 @dataclasses.dataclass
 class PipelineOutput:
     """Generation result carrying the init noise — API parity with the
@@ -96,9 +102,15 @@ class InversablePipeline:
             self.text_params = self.text.params
 
         if weights_dtype is not None:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(weights_dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            # Donated jit: XLA frees each fp32 source buffer as its low-
+            # precision copy is produced, so peak HBM stays near the OLD
+            # tree size instead of old+new (SDXL: 10.3GB fp32 + 5.2GB bf16
+            # = 15.5GB transient would OOM a 16GB chip before the first
+            # forward pass).
+            cast = jax.jit(
+                functools.partial(_cast_floating, dtype=weights_dtype),
+                donate_argnums=0,
+            )
             self.unet_params = cast(self.unet_params)
             self.vae_params = cast(self.vae_params)
 
