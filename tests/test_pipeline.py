@@ -116,3 +116,30 @@ def test_batch_shapes(pipe):
     z_back = pipe.invert(latents=x0, num_steps=4)
     voted = np.asarray(recover_message_bits(z_back, cfg))
     assert voted.shape == (3, 32)
+
+
+def test_weights_dtype_cast_is_applied_and_runs():
+    """weights_dtype=bf16 (the SDXL-on-16GB mode) must cast every floating
+    param via the donated jit and still denoise correctly."""
+    p = InversablePipeline("tiny", rng=jax.random.key(3),
+                           weights_dtype=jnp.bfloat16)
+    leaves = [l for l in jax.tree.leaves(p.unet_params)
+              if jnp.issubdtype(l.dtype, jnp.floating)]
+    assert leaves and all(l.dtype == jnp.bfloat16 for l in leaves)
+    out = p.generate(jax.random.normal(jax.random.key(4), (1, 4, 8, 8)),
+                     guidance_scale=1.0, num_steps=2, decode=False)
+    assert out.shape == (1, 4, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_chunk_scales_with_resolution(pipe):
+    """The chunk budget shrinks with pixel count, and the decode path
+    accounts for its image-sized output activations."""
+    img_512 = jnp.zeros((1, 3, 512, 512))
+    img_768 = jnp.zeros((1, 3, 768, 768))
+    c512 = pipe._vae_chunk_for(img_512)
+    c768 = pipe._vae_chunk_for(img_768)
+    assert c768 < c512 == pipe.vae_chunk
+    # latents for a 512x512 decode must be budgeted like 512x512 images
+    lat = jnp.zeros((1, pipe.preset.vae.latent_channels, 64, 64))
+    assert pipe._vae_chunk_for(lat) == c512
