@@ -19,7 +19,8 @@ from __future__ import annotations
 # scan + chunked VAE: largest batch that runs / smallest that OOMs.
 # (res, max_ok_batch) — refined whenever a new measurement lands.
 _MEASURED_V5E_16GB = {
-    512: 160,   # 160 measured OK r2 (4.49 imgs/s); 256 RESOURCE_EXHAUSTED r1
+    512: 192,   # 192 measured OK r2 (4.46 imgs/s; 160 is the throughput
+                # sweet spot at 4.49); 256 RESOURCE_EXHAUSTED r1
     768: 32,    # 32 measured OK r2 (1.37 imgs/s); 48 crashed r1 pre-chunking
 }
 

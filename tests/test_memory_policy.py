@@ -4,7 +4,7 @@ from gswm.utils.memory import suggest_batch
 
 
 def test_anchors_are_respected():
-    assert suggest_batch(512) == 160
+    assert suggest_batch(512) == 192
     assert suggest_batch(768) == 32
 
 
@@ -15,7 +15,7 @@ def test_never_suggests_known_oom_points():
 
 def test_requested_clamps_not_replaces():
     assert suggest_batch(512, requested=32) == 32
-    assert suggest_batch(512, requested=512) == 160
+    assert suggest_batch(512, requested=512) == 192
 
 
 def test_scales_with_hbm():
