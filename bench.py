@@ -79,8 +79,10 @@ def main():
         preset, rng=jax.random.key(0),
         weights_dtype=jnp.bfloat16 if wd == "bf16" else None,
     )
+    f = 2 ** (len(pipe.preset.vae.block_out_channels) - 1)
     cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="bench",
-                   width=res, height=res, message_bits=256)
+                   width=res, height=res, vae_scale=f,
+                   message_bits=256 if f == 8 else 32)
 
     # fixed input batch of images: the measured path is the reference's full
     # extraction chain (image -> VAE posterior mean -> N-step inversion ->
