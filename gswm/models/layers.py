@@ -235,7 +235,11 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # diffusers GEGLU applies torch.nn.functional.gelu, which is the
+        # EXACT erf gelu — flax's default is the tanh approximation, which
+        # drifts ~1e-3 on trained activations (caught by
+        # tests/test_block_diffusers_parity.py).
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -259,16 +263,16 @@ class BasicTransformerBlock(nn.Module):
         if "sattn" not in _ABLATE:
             x = x + Attention(self.heads, self.head_dim, self.dtype,
                               name="attn1")(
-                nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             )
         if "xattn" not in _ABLATE:
             x = x + Attention(self.heads, self.head_dim, self.dtype,
                               name="attn2")(
-                nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context
             )
         if "ff" not in _ABLATE:
             x = x + FeedForward(self.dtype, name="ff")(
-                nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
             )
         return x
 

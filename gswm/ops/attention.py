@@ -28,6 +28,7 @@ sign boundary).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -177,7 +178,11 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
     itemsize = jnp.dtype(q.dtype).itemsize
     # bf16 model path drops the running max (see _attend_kv_loop); fp32
     # inputs keep the exact recurrence for the parity oracle.
-    use_max = q.dtype != jnp.bfloat16
+    # GSWM_ATTN_USE_MAX=1 forces the exact running-max path for bf16 too —
+    # the escape hatch for non-SD weights whose logits might exceed the
+    # no-max clamp (trained SD stays |s| < ~30; the clamp is 60).
+    use_max = (q.dtype != jnp.bfloat16
+               or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
 
     # VMEM budget: Pallas double-buffers every grid input, so the
     # head-resident layout costs ~2*(Q+K+V+O) bytes.  Above the budget fall
@@ -324,8 +329,8 @@ def _pad_to(x, axis, multiple):
 
 def flash_attention(
     q, k, v,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
 ):
     """(B, S, H, D) q/k/v -> (B, S, H, D) attention output.
@@ -336,6 +341,12 @@ def flash_attention(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # None defaults (vs =DEFAULT_*) so an explicit block_k equal to the
+    # default is distinguishable from "no preference" — only the latter
+    # gets the full-row K-block override below (ADVICE r2).
+    explicit_block_k = block_k is not None
+    block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
+    block_k = DEFAULT_BLOCK_K if block_k is None else block_k
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
@@ -354,7 +365,7 @@ def flash_attention(
     bq = min(bq, block_q)
     bk = min(block_k, max(128, 1 << (sk - 1).bit_length()))
     bk = min(bk, block_k)
-    if block_k == DEFAULT_BLOCK_K:
+    if not explicit_block_k:
         # When the whole head fits VMEM (resident tier), full-row K blocks
         # collapse the online loop to one iteration: 43.0 ms vs 45.7 at SD
         # lvl0 (b128, 4096 tokens).  Capped at 4096 so the fp32 logits tile

@@ -23,9 +23,10 @@ Communication volume per device: (sp-1) * |K_local + V_local| — the same
 bytes a single all-gather of K/V would move, but peak memory stays at one
 shard and compute starts immediately.
 
-Local per-step attention uses the einsum formulation: local shards are
-S/sp tokens, so the (b, h, S/sp, S/sp) logits tile is small; on-chip
-blockwise kernels remain a future optimization for very long local shards.
+Local per-step attention runs the online-softmax recurrence over K-chunks
+(<=1024 keys each), so the fp32 logits working set per device stays at
+(b, h, S/sp, 1024) regardless of shard length — no quadratic local blow-up
+at the 16k+ token scales sp exists for.
 """
 
 from __future__ import annotations
@@ -50,19 +51,42 @@ def _ring_attend_local(q, k0, v0, axis_name: str):
     acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(_, carry):
-        m, l, acc, kc, vc = carry
-        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kc.astype(jnp.float32))
+    # Chunk the local attend so the fp32 logits working set stays bounded:
+    # a full (b, h, S_local, S_local) einsum at SDXL-scale local shards
+    # (16k/sp tokens) would materialize GBs per ring step — exactly the
+    # blow-up sp exists to avoid (ADVICE r2).  The same online-softmax
+    # recurrence runs over K-chunks inside each ring step, so numerics are
+    # unchanged (running max is maintained across chunks AND ring steps).
+    sk_local = k0.shape[1]
+    n_chunks = max(1, -(-sk_local // 1024))
+    while sk_local % n_chunks:
+        n_chunks += 1
+    ck = sk_local // n_chunks
+
+    def attend_chunk(c, carry, kc, vc):
+        m, l, acc = carry
+        ks = jax.lax.dynamic_slice_in_dim(kc, c * ck, ck, axis=1)
+        vs = jax.lax.dynamic_slice_in_dim(vc, c * ck, ck, axis=1)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, ks.astype(jnp.float32))
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.einsum(
-            "bhqk,bkhd->bhqd", p, vc.astype(jnp.float32)
+            "bhqk,bkhd->bhqd", p, vs.astype(jnp.float32)
+        )
+        return m_new, l_new, acc_new
+
+    def step(_, carry):
+        m, l, acc, kc, vc = carry
+        m, l, acc = jax.lax.fori_loop(
+            0, n_chunks,
+            lambda c, mla: attend_chunk(c, mla, kc, vc),
+            (m, l, acc),
         )
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return m_new, l_new, acc_new, kc, vc
+        return m, l, acc, kc, vc
 
     m, l, acc, _, _ = jax.lax.fori_loop(0, n, step, (m0, l0, acc0, k0, v0))
     out = acc / l

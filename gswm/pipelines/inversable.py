@@ -101,6 +101,20 @@ class InversablePipeline:
             self.vae_params = self.vae.init(rv, img)
             self.text_params = self.text.params
 
+        if weights_dtype is None and jax.default_backend() == "tpu":
+            # Auto residency policy (VERDICT r2 #8): keep fp32 master weights
+            # (measured faster at SD2.1 scale) unless the fp32 tree itself
+            # crowds activations out of HBM (SDXL: 10.3GB fp32 params on a
+            # 16GB chip).  Explicit weights_dtype always wins.
+            from gswm.utils.memory import suggest_weights_dtype
+
+            param_bytes = sum(
+                x.size * 4
+                for t in (self.unet_params, self.vae_params)
+                for x in jax.tree.leaves(t)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+            )
+            weights_dtype = suggest_weights_dtype(param_bytes)
         if weights_dtype is not None:
             # Donated jit: XLA frees each fp32 source buffer as its low-
             # precision copy is produced, so peak HBM stays near the OLD
@@ -127,7 +141,17 @@ class InversablePipeline:
         return h
 
     def empty_context(self, batch: int = 1) -> jax.Array:
-        return self.encode_prompt_ids(self.text.empty_prompt_ids(batch))
+        """Context for the empty prompt, broadcast to ``batch`` rows.
+
+        Encoded ONCE per pipeline (all rows are the same "" prompt — the
+        extraction setting, extract.py:66): the 340M-param text encoder
+        otherwise re-runs on `batch` identical sequences every invert()
+        call."""
+        if getattr(self, "_empty_ctx", None) is None:
+            self._empty_ctx = self.encode_prompt_ids(
+                self.text.empty_prompt_ids(1))
+        c = self._empty_ctx
+        return jnp.broadcast_to(c, (batch,) + c.shape[1:])
 
     def default_added_cond(self, batch: int, height: int, width: int,
                            pooled_text=None):
