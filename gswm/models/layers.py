@@ -184,9 +184,13 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # 1024 measured best end-to-end (4.12 vs 3.88 imgs/sec at 4096): XLA's
     # einsum attention materializes 5.4GB of fp32 logits per level-1 layer
-    # call at batch 128.  GSWM_FLASH_MIN_SEQ overrides for A/B experiments.
-    flash_min_seq: int = int(__import__("os").environ.get(
-        "GSWM_FLASH_MIN_SEQ", "1024"))
+    # call at batch 128.  GSWM_FLASH_MIN_SEQ overrides for A/B experiments
+    # and mesh dryruns (read at CALL time so it works however late the env
+    # is set relative to module import).
+    flash_min_seq: int = 1024
+
+    def _flash_min_seq(self) -> int:
+        return int(os.environ.get("GSWM_FLASH_MIN_SEQ", self.flash_min_seq))
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -208,7 +212,7 @@ class Attention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         # GSWM_FORCE_FLASH=1 forces the kernel path off-TPU (interpret mode)
         # so TP x flash numerics are testable on the virtual CPU mesh.
-        use_flash = q.shape[1] >= self.flash_min_seq and (
+        use_flash = q.shape[1] >= self._flash_min_seq() and (
             jax.default_backend() == "tpu"
             or os.environ.get("GSWM_FORCE_FLASH") == "1"
         )

@@ -35,6 +35,10 @@ def _build_flax_clip(cfg: TextConfig):
         num_attention_heads=cfg.num_heads,
         max_position_embeddings=cfg.max_length,
         hidden_act=cfg.hidden_act,
+        # pooling finds the EOS position by token id — must match the ids
+        # empty_prompt_ids synthesizes (tiny test vocabs clamp EOS)
+        bos_token_id=min(BOS_ID, cfg.vocab_size - 2),
+        eos_token_id=min(EOS_ID, cfg.vocab_size - 1),
     )
     return FlaxCLIPTextModel(hf_cfg, _do_init=True)
 
@@ -63,6 +67,22 @@ class TextEncoder:
             hidden = (hidden - mean) / jnp.sqrt(var + 1e-5)
             return hidden * ln["scale"] + ln["bias"]
         return out.last_hidden_state
+
+    def pooled(self, input_ids, params=None, projection=None) -> jnp.ndarray:
+        """(B, 77) ids -> (B, hidden) pooled embedding: the EOS-position
+        hidden state after the final layer norm (CLIP pooling), optionally
+        through a text_projection matrix (SDXL's second encoder is a
+        CLIPTextModelWithProjection — the pooled output that feeds
+        added_cond.text_embeds goes through that projection when real
+        checkpoint weights supply one)."""
+        out = self.model(
+            input_ids=input_ids,
+            params=params if params is not None else self.params,
+        )
+        pooled = out.pooler_output
+        if projection is not None:
+            pooled = pooled @ jnp.asarray(projection)
+        return pooled
 
     def empty_prompt_ids(self, batch: int = 1) -> np.ndarray:
         """Token ids for "" — BOS then EOS-padding (CLIP pads with EOS)."""

