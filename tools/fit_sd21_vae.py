@@ -1,0 +1,104 @@
+"""Fit the REAL sd-2-1-base VAE architecture (83.7M params) for
+encode∘decode identity, so the chip-scale robustness artifact certifies
+SIGNAL, not just plumbing (VERDICT r2 missing #2 / next #3).
+
+Offline there are no SD checkpoints; with random VAE weights the pixel
+roundtrip destroys the watermark (round-2's sd21arch TPU sweep sat at the
+0.54 random floor including the lossless control row).  A real SD VAE is
+near-lossless for the posterior mean; this script puts the full-size
+architecture in the same regime the way gswm.utils.fitting already did for
+the tiny VAE: Adam on  encode(clip(decode(z))) ≈ z  over the latent scales
+the random-UNet DDIM trajectory actually produces (~8-18x unit scale).
+
+Progressive resolution: the VAE is fully convolutional, so most fitting
+happens at cheap 16x16 latents (128px images), then short refinements at
+32x32 and the target 64x64 (512px) adapt the mid-block attention to its
+real token count.
+
+Output: benchmarks/fitted_vae_sd21arch.msgpack (flax serialization bytes) +
+a sign-fidelity report at 64x64.  tools/run_robustness_sweep.py loads it
+automatically for non-tiny presets.
+
+Run (one TPU job at a time):  python tools/fit_sd21_vae.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = "benchmarks/fitted_vae_sd21arch.msgpack"
+
+
+def sign_fidelity(pipe, latent_hw, batch=8, scale=14.0, seed=123):
+    """Fraction of latent elements whose SIGN survives decode->clip->encode
+    (the element-level quantity majority voting consumes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gswm.models.vae import AutoencoderKL
+
+    h, w = latent_hw
+    c = pipe.preset.vae.latent_channels
+    z = scale * jax.random.normal(jax.random.key(seed), (batch, c, h, w))
+
+    @jax.jit
+    def roundtrip(params, z):
+        img = pipe.vae.apply(params, z, method=AutoencoderKL.decode)
+        img = jnp.clip(img, -1.0, 1.0)
+        return pipe.vae.apply(params, img, method=AutoencoderKL.encode)
+
+    z_back = roundtrip(pipe.vae_params, z)
+    return float(np.mean(np.sign(np.asarray(z_back)) == np.sign(np.asarray(z))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=OUT)
+    ap.add_argument("--preset", default="sd-2-1-base")
+    # (latent_hw, steps, batch, lr) per stage; most optimization at the cheap
+    # resolution, short adaptation at the real one.
+    ap.add_argument("--stages", default="16:1500:32:1e-3,32:500:16:3e-4,"
+                                        "64:250:8:1e-4")
+    args = ap.parse_args()
+
+    import jax
+    from flax import serialization
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
+
+    from gswm.pipelines import InversablePipeline
+    from gswm.utils.fitting import fit_vae_roundtrip
+
+    pipe = InversablePipeline(args.preset, rng=jax.random.key(0))
+    print(f"preset {args.preset}; initial sign fidelity @16x16:",
+          f"{sign_fidelity(pipe, (16, 16)):.3f}", flush=True)
+
+    for stage in args.stages.split(","):
+        hw, steps, batch, lr = stage.split(":")
+        hw, steps, batch, lr = int(hw), int(steps), int(batch), float(lr)
+        t0 = time.time()
+        fit_vae_roundtrip(pipe, steps=steps, batch=batch, lr=lr,
+                          latent_hw=(hw, hw))
+        fid = sign_fidelity(pipe, (hw, hw))
+        print(f"stage {hw}x{hw}: {steps} steps batch {batch} lr {lr} "
+              f"in {time.time()-t0:.0f}s -> sign fidelity {fid:.4f}",
+              flush=True)
+
+    fid64 = sign_fidelity(pipe, (64, 64))
+    print(f"final sign fidelity @64x64 (512px): {fid64:.4f}", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(pipe.vae_params)))
+    print(f"wrote {args.out} "
+          f"({os.path.getsize(args.out)/1e6:.1f} MB)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
