@@ -17,6 +17,9 @@ KEY_HEX = "22" * 32
 NONCE_HEX = "33" * 16
 
 
+pytestmark = pytest.mark.slow  # compile-heavy; quick loop: -m 'not slow'
+
+
 @pytest.fixture(scope="module")
 def pipe():
     return InversablePipeline("tiny", rng=jax.random.key(0))

@@ -10,6 +10,9 @@ from gswm.distortions.attacks import apply_single_distortion
 from gswm.pipelines import InversablePipeline
 
 
+pytestmark = pytest.mark.slow  # compile-heavy; quick loop: -m 'not slow'
+
+
 def test_reversed_requires_pipe():
     img = Image.fromarray(np.zeros((16, 16, 3), np.uint8))
     with pytest.raises(ValueError, match="pipe"):

@@ -15,9 +15,11 @@ from gswm.ops.attention import reference_attention
 from gswm.ops.ring_attention import ring_attention
 from gswm.sharding import make_mesh
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy; quick loop: -m 'not slow'
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 
 def _qkv(b=2, s=512, h=2, d=32, seed=0, dtype=jnp.float32):

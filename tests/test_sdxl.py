@@ -22,6 +22,8 @@ TINY_XL = UNetConfig(
     norm_groups=8,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy; quick loop: -m 'not slow'
+
 
 def test_sdxl_preset_geometry():
     assert SDXL_BASE.unet.depth_for(0) == 1

@@ -14,9 +14,11 @@ from gswm.core.decode import recover_message_bits
 from gswm.core.embed import embed_latents
 from gswm.sharding import batch_sharding, make_mesh, shard_params, unet_param_specs
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy; quick loop: -m 'not slow'
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 
 def _cfg():

@@ -24,9 +24,11 @@ from gswm.ops.attention import (
 )
 from gswm.sharding import batch_sharding, make_mesh, shard_params
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy; quick loop: -m 'not slow'
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 
 def _qkv(b=4, s=512, h=4, d=32, seed=0):
