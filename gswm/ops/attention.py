@@ -188,8 +188,12 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
     # head-resident layout costs ~2*(Q+K+V+O) bytes.  Above the budget fall
     # back to the KV-resident tier (K/V once per head, q tiles streamed —
     # covers 768x768's 9216 tokens and SDXL's 16k), then to streaming K/V.
+    # GSWM_FLASH_TIER forces a tier (resident|kvres|streamk) for A/B
+    # experiments; unset = the VMEM-driven policy below.
+    force_tier = os.environ.get("GSWM_FLASH_TIER")
     resident_bytes = 2 * (2 * s + 2 * sk) * d * itemsize
-    if resident_bytes <= _RESIDENT_VMEM_BUDGET:
+    if (resident_bytes <= _RESIDENT_VMEM_BUDGET
+            if force_tier is None else force_tier == "resident"):
         grid = (bh,)
         kernel = functools.partial(_flash_kernel, block_q=block_q,
                                    block_k=block_k, scale=scale,
@@ -217,7 +221,9 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
         + 2 * block_q * block_k * 4        # fp32 logits + exp temporaries
         + block_q * d * 4                  # fp32 accumulator
     )
-    if kvres_bytes <= _KVRES_VMEM_BUDGET and s % block_q == 0:
+    if ((kvres_bytes <= _KVRES_VMEM_BUDGET
+         if force_tier is None else force_tier == "kvres")
+            and s % block_q == 0):
         kernel = functools.partial(_flash_kernel_kvres, block_k=block_k,
                                    scale=scale, valid_k=valid_k,
                                    use_max=use_max)
