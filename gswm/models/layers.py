@@ -239,11 +239,15 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # diffusers GEGLU applies torch.nn.functional.gelu, which is the
-        # EXACT erf gelu — flax's default is the tanh approximation, which
-        # drifts ~1e-3 on trained activations (caught by
-        # tests/test_block_diffusers_parity.py).
-        return h * nn.gelu(gate, approximate=False)
+        # diffusers GEGLU applies torch.nn.functional.gelu — the EXACT erf
+        # gelu (caught by tests/test_block_diffusers_parity.py; flax's
+        # default tanh approximation drifts ~1e-3).  Precision-aware choice:
+        # fp32 computes the exact erf form; bf16 uses the tanh approximation
+        # because its ~1e-3 error is ~8x BELOW bf16's own quantization step
+        # (2^-8 at |x|~2) while XLA's erf costs 1.7x the tanh form on the
+        # v5e VPU (12.7 vs 7.5 ms at the lvl0 gate, tools/exp_gelu.py).
+        exact = jnp.dtype(self.dtype) == jnp.float32
+        return h * nn.gelu(gate, approximate=not exact)
 
 
 class FeedForward(nn.Module):

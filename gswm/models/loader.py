@@ -172,3 +172,24 @@ def load_text_params(model_dir: str):
         local_files_only=True,
     )
     return model.params
+
+
+def load_text2_params(model_dir: str):
+    """SDXL second text encoder (text_encoder_2/, a
+    CLIPTextModelWithProjection): returns (flax_params, projection) where
+    ``projection`` is the (hidden, out) text_projection matrix applied to
+    the pooled output that feeds added_cond.text_embeds."""
+    import glob
+
+    d = os.path.join(model_dir, "text_encoder_2")
+    from transformers import FlaxCLIPTextModel
+
+    model = FlaxCLIPTextModel.from_pretrained(
+        d, from_pt=True, local_files_only=True)
+    projection = None
+    for f in sorted(glob.glob(os.path.join(d, "*.safetensors"))):
+        sd = _load_safetensors(f)
+        for k, t in sd.items():
+            if k.endswith("text_projection.weight"):
+                projection = jnp.asarray(t.T)  # (out,in) -> (in,out)
+    return model.params, projection

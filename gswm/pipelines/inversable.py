@@ -91,6 +91,11 @@ class InversablePipeline:
             self.unet_params = loader.load_unet_params(model_dir)
             self.vae_params = loader.load_vae_params(model_dir)
             self.text_params = loader.load_text_params(model_dir)
+            if self.text2 is not None:
+                # SDXL second encoder + its text_projection (feeds the
+                # pooled added_cond path)
+                self.text2_params, self.text2_projection = (
+                    loader.load_text2_params(model_dir))
         else:
             # random init — architecture-true; real weights attach when a
             # local checkpoint directory is available (offline environment).
@@ -136,7 +141,8 @@ class InversablePipeline:
         h = self.text(jnp.asarray(input_ids), self.text_params)
         if self.text2 is not None:
             ids2 = input_ids if input_ids2 is None else input_ids2
-            h2 = self.text2(jnp.asarray(ids2))
+            h2 = self.text2(jnp.asarray(ids2),
+                            params=getattr(self, "text2_params", None))
             h = jnp.concatenate([h, h2], axis=-1)
         return h
 
@@ -163,6 +169,7 @@ class InversablePipeline:
             enc = self.text2 if self.text2 is not None else self.text
             self._empty_pooled = enc.pooled(
                 jnp.asarray(enc.empty_prompt_ids(1)),
+                params=getattr(self, "text2_params", None),
                 projection=getattr(self, "text2_projection", None),
             )
         p = self._empty_pooled
