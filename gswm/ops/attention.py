@@ -381,6 +381,12 @@ def flash_attention(
         sq_pad = -(-sq // bq) * bq
         if 2 * (2 * sq_pad + 2 * sk_pad) * d * itemsize <= _RESIDENT_VMEM_BUDGET:
             bk = min(4096, sk_pad)
+        elif sk <= 12288:
+            # KV-resident regime (768-class shapes): bk=1024 measured best
+            # at 9216 tokens — 49.8 ms vs 51.7 at bk=2048 (69.8 TF/s,
+            # tools/exp_attn_tiers.py); larger K tiles only help when the
+            # whole row collapses to one iteration.
+            bk = 1024
 
     def to_bhsd(t):
         return jnp.transpose(t, (0, 2, 1, 3)).reshape(b * h, t.shape[1], d)
