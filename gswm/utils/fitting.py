@@ -33,10 +33,18 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
     vae = pipe.vae
     c = pipe.preset.vae.latent_channels
 
+    # jax.checkpoint (remat) around each VAE half: backward recomputes the
+    # conv stack instead of storing every intermediate — at full-size
+    # (83.7M-param VAE, 512px images) the stored-activation footprint
+    # otherwise RESOURCE_EXHAUSTs a 16GB chip even at batch 8.
+    dec = jax.checkpoint(
+        lambda p, zz: vae.apply(p, zz, method=AutoencoderKL.decode))
+    enc = jax.checkpoint(
+        lambda p, ii: vae.apply(p, ii, method=AutoencoderKL.encode))
+
     def loss_fn(params, z, scale):
-        img = vae.apply(params, z, method=AutoencoderKL.decode)
-        img = jnp.clip(img, -1.0, 1.0)  # generate() clips images to [0, 1]
-        z_back = vae.apply(params, img, method=AutoencoderKL.encode)
+        img = jnp.clip(dec(params, z), -1.0, 1.0)  # generate() clips images
+        z_back = enc(params, img)
         return jnp.mean(((z_back - z) / scale) ** 2)
 
     opt = optax.adam(lr)

@@ -72,10 +72,20 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
 
-    from gswm.pipelines import InversablePipeline
+    import types
+
+    import jax.numpy as jnp
+
+    from gswm.models.configs import PRESETS
+    from gswm.models.vae import AutoencoderKL
     from gswm.utils.fitting import fit_vae_roundtrip
 
-    pipe = InversablePipeline(args.preset, rng=jax.random.key(0))
+    # VAE-only: an InversablePipeline would keep the 3.5GB fp32 UNet
+    # resident next to the Adam state for no reason.
+    preset = PRESETS[args.preset]
+    vae = AutoencoderKL(preset.vae, dtype=jnp.bfloat16)
+    params = vae.init(jax.random.key(0), jnp.zeros((1, 3, 32, 32)))
+    pipe = types.SimpleNamespace(vae=vae, vae_params=params, preset=preset)
     print(f"preset {args.preset}; initial sign fidelity @16x16:",
           f"{sign_fidelity(pipe, (16, 16)):.3f}", flush=True)
 
