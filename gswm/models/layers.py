@@ -192,6 +192,37 @@ class Attention(nn.Module):
     def _flash_min_seq(self) -> int:
         return int(os.environ.get("GSWM_FLASH_MIN_SEQ", self.flash_min_seq))
 
+    def _use_fused_qkv(self, x) -> bool:
+        """Route self-attention to the fused-qkv kernel (projections inside
+        the pallas kernel)?  Measured on v5e in context (lax.scan +
+        projection producer/consumer, tools/exp_attn_context.py): at
+        1024 tokens the fused kernel cuts in-context attention cost 14.2 ->
+        6.5 ms/step (the matmul->split->to_bhsd relayout copies around the
+        split-projection path dominate there); at 4096 tokens it LOSES
+        (54.5 vs 52.8 — the head-resident tier's full-row logits beat the
+        copy savings, and the fused kernel's q/k/v scratch forces smaller
+        tiles).  Default routing window reflects those measurements;
+        GSWM_FUSED_QKV=0 disables, GSWM_FUSED_QKV_MAX_SEQ moves the upper
+        edge for A/B runs."""
+        if os.environ.get("GSWM_FUSED_QKV") == "0":
+            return False
+        s = x.shape[1]
+        hi = int(os.environ.get("GSWM_FUSED_QKV_MAX_SEQ", "2304"))
+        if not (256 <= s <= hi):
+            return False
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            names = getattr(mesh, "axis_names", ()) or ()
+            for ax in ("tp", "sp"):
+                if ax in names and mesh.shape[ax] > 1:
+                    return False  # head/seq sharding needs the split path
+        except Exception:
+            pass
+        from gswm.ops.attention import fused_qkv_attention_fits
+
+        return fused_qkv_attention_fits(
+            s, x.shape[-1], self.heads * self.head_dim, self.dtype)
+
     @nn.compact
     def __call__(self, x, context=None):
         ctx = x if context is None else context
@@ -199,6 +230,21 @@ class Attention(nn.Module):
         wq = ProjWeights(inner, name="to_q")(x.shape[-1])
         wk = ProjWeights(inner, name="to_k")(ctx.shape[-1])
         wv = ProjWeights(inner, name="to_v")(ctx.shape[-1])
+        # GSWM_FORCE_FLASH=1 forces the kernel paths off-TPU (interpret
+        # mode) so kernel numerics are testable on the virtual CPU mesh.
+        on_device = (jax.default_backend() == "tpu"
+                     or os.environ.get("GSWM_FORCE_FLASH") == "1")
+        if (context is None and on_device
+                and wq[1] is None and wk[1] is None and wv[1] is None
+                and self._use_fused_qkv(x)):
+            from gswm.ops.attention import flash_attention_fused_qkv
+
+            out = flash_attention_fused_qkv(
+                x.astype(self.dtype), wq[0].astype(self.dtype),
+                wk[0].astype(self.dtype), wv[0].astype(self.dtype),
+                self.heads, self.head_dim)
+            return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
         if context is None:
             q, k, v = fused_projection(x, (wq, wk, wv), self.dtype)
         else:
@@ -210,12 +256,7 @@ class Attention(nn.Module):
             return with_sharding(t, ("dp", None, "tp", None))
 
         q, k, v = split(q), split(k), split(v)
-        # GSWM_FORCE_FLASH=1 forces the kernel path off-TPU (interpret mode)
-        # so TP x flash numerics are testable on the virtual CPU mesh.
-        use_flash = q.shape[1] >= self._flash_min_seq() and (
-            jax.default_backend() == "tpu"
-            or os.environ.get("GSWM_FORCE_FLASH") == "1"
-        )
+        use_flash = q.shape[1] >= self._flash_min_seq() and on_device
         if use_flash:
             from gswm.ops.attention import flash_attention_sharded
 

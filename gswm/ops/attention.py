@@ -69,10 +69,12 @@ _NOMAX_CLAMP = 60.0
 
 
 def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
-                    use_max: bool):
+                    use_max: bool, seq_k: int | None = None):
     """Shared online-softmax recurrence: one (scaled) query tile against
     every key block of k_ref/v_ref (whole head resident in VMEM).  Returns
-    the normalized (block_q, d) output tile.
+    the normalized (block_q, d) output tile.  ``k_ref``/``v_ref`` are either
+    (1, S, d) block refs or accessor callables ``kb -> (block_k, d)`` (the
+    fused-qkv kernel reads lane slices of a packed VMEM scratch).
 
     ``use_max=False`` (the bf16 model path) drops the running row-max and
     its rescale chain entirely: exp runs on clamped raw logits and the fp32
@@ -85,7 +87,18 @@ def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
     low-precision with fp32 accumulation; casting inputs to fp32 would
     silently fall back to multi-pass fp32 matmuls (~4x slower)."""
     block_q, d = q.shape
-    seq_k = k_ref.shape[1]
+    if callable(k_ref):
+        k_get, v_get = k_ref, v_ref
+        assert seq_k is not None
+    else:
+        seq_k = k_ref.shape[1]
+
+        def k_get(kb):
+            return k_ref[0, pl.ds(kb * block_k, block_k), :]
+
+        def v_get(kb):
+            return v_ref[0, pl.ds(kb * block_k, block_k), :]
+
     p_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
 
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
@@ -102,8 +115,8 @@ def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
 
     def body_nomax(kb, carry):
         _, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        k = k_get(kb)
+        v = v_get(kb)
         s = masked(jnp.dot(q, k.T, preferred_element_type=jnp.float32), kb)
         p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
         l_new = l + jnp.sum(p, axis=-1, keepdims=True)
@@ -113,8 +126,8 @@ def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
 
     def body_max(kb, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        k = k_get(kb)
+        v = v_get(kb)
         s = masked(jnp.dot(q, k.T, preferred_element_type=jnp.float32), kb)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         # s - m_new <= 0 so exp lands in [0,1]; bf16 weights cost <0.4%.
@@ -402,6 +415,201 @@ def flash_attention(
     out = _flash_bhsd(qb, kb, vb, bq, bk, valid_k=sk0, interpret=interpret)
     out = out[:, :sq0, :]
     return jnp.transpose(out.reshape(b, h, sq0, d), (0, 2, 1, 3))
+
+
+def _fused_qkv_kernel(x_hbm, wq_ref, wk_ref, wv_ref, o_ref,
+                      x_vmem, q_vmem, k_vmem, v_vmem, sem, *, block_q: int,
+                      block_k: int, heads: int, head_dim: int, scale: float,
+                      valid_k: int, use_max: bool):
+    """Self-attention with the q/k/v projections fused into the kernel.
+
+    Round-3 trace finding (docs/BENCH.md): the matmul->split->to_bhsd
+    relayouts around the flash kernel cost ~2.5 s of a 35 s extraction pass
+    — XLA materializes {1,2,0}->{2,1,0} copies on every 419 MB q/k/v tensor
+    because the projection's natural output layout never matches the
+    (BH, S, D) custom-call operand layout.  Head-dim 64 also makes every
+    per-head lane slice 64-offset (misaligned to the 128-lane tile), so the
+    split can't be a bitcast either.  Fusing the projections sidesteps the
+    whole problem: x streams in ONCE in its native (B, S, C) layout via a
+    manual DMA, K/V are computed once per image into VMEM scratch, q tiles
+    are projected on the fly, and heads are unrolled in-kernel with STATIC
+    lane slices (measured free — the round-2 transpose-free A/B tied).
+    Output lands as (B, S, H*D), which feeds to_out with no relayout.
+
+    Grid (B, n_q_tiles); i==0 does the x DMA + K/V projection for image b.
+    """
+    i = pl.program_id(1)
+    b = pl.program_id(0)
+    dtype = o_ref.dtype
+    chunk = x_vmem.shape[0]
+    s_pad = k_vmem.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        # Stream x through a small chunk buffer (whole-x scratch would blow
+        # the 16MB scoped-vmem budget at 4096 tokens) and project q/k/v
+        # rows incrementally.
+        def load(ci, _):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(ci * chunk, chunk), :], x_vmem, sem)
+            cp.start()
+            cp.wait()
+            xc = x_vmem[:]
+            rows = pl.ds(ci * chunk, chunk)
+            q_vmem[rows] = jnp.dot(
+                xc, wq_ref[:], preferred_element_type=jnp.float32
+            ).astype(dtype)
+            k_vmem[rows] = jnp.dot(
+                xc, wk_ref[:], preferred_element_type=jnp.float32
+            ).astype(dtype)
+            v_vmem[rows] = jnp.dot(
+                xc, wv_ref[:], preferred_element_type=jnp.float32
+            ).astype(dtype)
+            return 0
+
+        jax.lax.fori_loop(0, s_pad // chunk, load, 0)
+
+    q_tile = q_vmem[pl.ds(i * block_q, block_q), :]
+    seq_k = s_pad
+    for h in range(heads):
+        lo = h * head_dim
+        q = q_tile[:, lo:lo + head_dim]
+        q = (q.astype(jnp.float32) * scale).astype(dtype)
+
+        def k_get(kb, lo=lo):
+            return k_vmem[pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        def v_get(kb, lo=lo):
+            return v_vmem[pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        out = _attend_kv_loop(q, k_get, v_get, block_k=block_k,
+                              valid_k=valid_k, use_max=use_max, seq_k=seq_k)
+        o_ref[0, :, lo:lo + head_dim] = out.astype(dtype)
+
+
+# The fused kernel holds Q + K + V scratch (+ logits temporaries) in VMEM
+# at once; this budget gates which (block_q, block_k) fit — and whether the
+# shape routes here at all (512-class lvl0/lvl1 fit, a 9216-token 768-class
+# lvl0 or SDXL 16k does not and falls back to the split-projection tiers).
+# Calibrated against real Mosaic outcomes: lvl1 (S=1024, c=640) at blocks
+# (512,1024) estimates 13.7MB and compiles+runs; lvl0 (S=4096, c=320) at
+# (512,1024) estimates 14.5MB and hits the 16MB scoped-vmem ceiling at
+# 17.29MB (Mosaic adds ~2.8MB of its own buffering over this estimate).
+_FUSED_QKV_VMEM_BUDGET = int(13.8 * 1024 * 1024)
+_FUSED_QKV_BLOCKS = ((512, 1024), (512, 512), (256, 512), (256, 256),
+                     (128, 256), (128, 128))
+
+
+def _fused_qkv_need(s_pad, c_pad, inner, bq, bk, itemsize):
+    return (
+        min(512, s_pad) * c_pad * itemsize   # x chunk buffer
+        + 3 * s_pad * inner * itemsize       # Q + K + V scratch
+        + 3 * c_pad * inner * itemsize       # weight blocks (const index)
+        + 2 * bq * inner * itemsize          # o block (double-buffered)
+        + 2 * bq * bk * 4                    # fp32 logits + exp temporaries
+        + bq * inner * 4                     # fp32 accumulator slices
+    )
+
+
+def _fused_qkv_blocks(s_pad, c_pad, inner, itemsize):
+    """Largest (block_q, block_k) whose VMEM estimate fits, or None."""
+    for bq, bk in _FUSED_QKV_BLOCKS:
+        if s_pad % bq or s_pad % bk:
+            continue
+        if (_fused_qkv_need(s_pad, c_pad, inner, bq, bk, itemsize)
+                <= _FUSED_QKV_VMEM_BUDGET):
+            return bq, bk
+    return None
+
+
+def fused_qkv_attention_fits(seq: int, channels: int, inner: int,
+                             dtype=jnp.bfloat16) -> bool:
+    itemsize = jnp.dtype(dtype).itemsize
+    s_pad = -(-seq // 128) * 128
+    c_pad = -(-channels // 128) * 128
+    return _fused_qkv_blocks(s_pad, c_pad, inner, itemsize) is not None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "head_dim", "block_q", "block_k",
+                              "interpret")
+)
+def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
+                              block_q: int | None = None,
+                              block_k: int | None = None,
+                              interpret: bool | None = None):
+    """(B, S, C) x + (C, H*D) q/k/v weights -> (B, S, H*D) attention output.
+
+    The q/k/v projections run INSIDE the kernel (see _fused_qkv_kernel for
+    why); numerics match project->flash_attention exactly (same dots, same
+    online softmax).  No biases: SD/SDXL attention projections are
+    bias-free (diffusers Attention default, /root/reference pipelines).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, c = x.shape
+    inner = heads * head_dim
+    scale = head_dim**-0.5
+    itemsize = jnp.dtype(x.dtype).itemsize
+    pad_unit = 256 if s >= 256 else max(128, 1 << (s - 1).bit_length())
+    x_pad, s0 = _pad_to(x, 1, pad_unit)
+    # Mosaic DMA slices must be 128-lane aligned; SD channel counts (320)
+    # are not.  Pad channels to the tile boundary — physically ~free (the
+    # HBM layout already pads lanes to the tile) — and zero-pad the weight
+    # ROWS to match: dot(x_pad, w_pad) == dot(x, w) exactly.
+    x_pad, _ = _pad_to(x_pad, 2, 128)
+    c_pad = x_pad.shape[2]
+    if c_pad != c:
+        zp = ((0, c_pad - c), (0, 0))
+        wq = jnp.pad(wq, zp)
+        wk = jnp.pad(wk, zp)
+        wv = jnp.pad(wv, zp)
+    s_pad = x_pad.shape[1]
+    if block_q is None or block_k is None:
+        blocks = _fused_qkv_blocks(s_pad, c_pad, inner, itemsize)
+        if blocks is None:
+            raise ValueError(
+                f"fused qkv attention does not fit VMEM at seq={s}, "
+                f"channels={c}, inner={inner} — gate with "
+                "fused_qkv_attention_fits() and fall back to "
+                "flash_attention")
+        bq = blocks[0] if block_q is None else block_q
+        bk = blocks[1] if block_k is None else block_k
+    else:
+        bq, bk = block_q, block_k
+    bq = min(bq, s_pad)
+    bk = min(bk, s_pad)
+
+    kernel = functools.partial(
+        _fused_qkv_kernel, block_q=bq, block_k=bk, heads=heads,
+        head_dim=head_dim, scale=scale, valid_k=s0,
+        use_max=(x.dtype != jnp.bfloat16
+                 or os.environ.get("GSWM_ATTN_USE_MAX") == "1"))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, inner), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, inner), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((min(512, s_pad), c_pad), x.dtype),  # x chunk buffer
+            pltpu.VMEM((s_pad, inner), x.dtype),            # q
+            pltpu.VMEM((s_pad, inner), x.dtype),            # k
+            pltpu.VMEM((s_pad, inner), x.dtype),            # v
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad, wq, wk, wv)
+    return out[:, :s0, :]
 
 
 def flash_attention_sharded(q, k, v, **kw):
