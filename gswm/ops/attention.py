@@ -487,6 +487,54 @@ def _fused_qkv_kernel(x_hbm, wq_ref, wk_ref, wv_ref, o_ref,
         o_ref[0, :, lo:lo + head_dim] = out.astype(dtype)
 
 
+def _fused_qkv_kernel_seqhead(x_hbm, wq_ref, wk_ref, wv_ref, o_ref,
+                              x_vmem, k_vmem, v_vmem, sem, *, block_q: int,
+                              block_k: int, heads: int, head_dim: int,
+                              scale: float, valid_k: int, use_max: bool):
+    """Sequential-head fused-qkv layout for sequences whose all-heads q/k/v
+    scratch would not fit VMEM (lvl0's 4096 tokens).  Grid (B,): x is DMA'd
+    once per image into persistent scratch, then a STATIC python loop walks
+    heads — each head projects only its own (S, d) k/v slice into small
+    scratch (total projection FLOPs unchanged vs the split path) and q
+    tiles on the fly.  All lane offsets are static (Mosaic rejects
+    program_id-indexed lane slices), and the output block stays (1, S, H*D)
+    so to_out consumes it with no relayout."""
+    b = pl.program_id(0)
+    dtype = o_ref.dtype
+    s_pad = k_vmem.shape[0]
+    cp = pltpu.make_async_copy(x_hbm.at[b], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    for h in range(heads):
+        lo = h * head_dim
+        x = x_vmem[:]
+        k_vmem[:] = jnp.dot(x, wk_ref[:, lo:lo + head_dim],
+                            preferred_element_type=jnp.float32).astype(dtype)
+        v_vmem[:] = jnp.dot(x, wv_ref[:, lo:lo + head_dim],
+                            preferred_element_type=jnp.float32).astype(dtype)
+
+        def q_tile(qi, _, lo=lo):
+            xt = x_vmem[pl.ds(qi * block_q, block_q), :]
+            q = jnp.dot(xt, wq_ref[:, lo:lo + head_dim],
+                        preferred_element_type=jnp.float32)
+            q = (q * scale).astype(dtype)
+
+            def k_get(kb):
+                return k_vmem[pl.ds(kb * block_k, block_k), :]
+
+            def v_get(kb):
+                return v_vmem[pl.ds(kb * block_k, block_k), :]
+
+            out = _attend_kv_loop(q, k_get, v_get, block_k=block_k,
+                                  valid_k=valid_k, use_max=use_max,
+                                  seq_k=s_pad)
+            o_ref[0, pl.ds(qi * block_q, block_q),
+                  lo:lo + head_dim] = out.astype(dtype)
+            return 0
+
+        jax.lax.fori_loop(0, s_pad // block_q, q_tile, 0)
+
+
 # The fused kernel holds Q + K + V scratch (+ logits temporaries) in VMEM
 # at once; this budget gates which (block_q, block_k) fit — and whether the
 # shape routes here at all (512-class lvl0/lvl1 fit, a 9216-token 768-class
@@ -522,12 +570,43 @@ def _fused_qkv_blocks(s_pad, c_pad, inner, itemsize):
     return None
 
 
+_SEQHEAD_BLOCKS = ((256, 2048), (256, 1024), (256, 512), (128, 512),
+                   (128, 256))
+# (256,1024) at lvl0/b160 missed the 16MB ceiling by 16KB (16.02M real vs
+# a 12.7M estimate — Mosaic adds ~3.3MB here); the seqhead layout needs
+# its own, tighter budget than the all-heads kernel.
+_SEQHEAD_VMEM_BUDGET = int(12.5 * 1024 * 1024)
+
+
+def _seqhead_need(s_pad, c_pad, inner, head_dim, bq, bk, itemsize):
+    return (
+        s_pad * c_pad * itemsize             # x scratch (single, manual DMA)
+        + 2 * s_pad * head_dim * itemsize    # per-head K + V scratch
+        + 2 * s_pad * inner * itemsize       # o block (double-buffered)
+        + 3 * c_pad * inner * itemsize       # weight blocks (const index)
+        + 2 * bq * bk * 4                    # fp32 logits + exp temporaries
+        + bq * max(inner, bk) * 4            # fp32 accumulator/q temporaries
+    )
+
+
+def _seqhead_blocks(s_pad, c_pad, inner, head_dim, itemsize):
+    for bq, bk in _SEQHEAD_BLOCKS:
+        if s_pad % bq or s_pad % bk:
+            continue
+        if (_seqhead_need(s_pad, c_pad, inner, head_dim, bq, bk, itemsize)
+                <= _SEQHEAD_VMEM_BUDGET):
+            return bq, bk
+    return None
+
+
 def fused_qkv_attention_fits(seq: int, channels: int, inner: int,
-                             dtype=jnp.bfloat16) -> bool:
+                             dtype=jnp.bfloat16, head_dim: int = 64) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     s_pad = -(-seq // 128) * 128
     c_pad = -(-channels // 128) * 128
-    return _fused_qkv_blocks(s_pad, c_pad, inner, itemsize) is not None
+    return (_fused_qkv_blocks(s_pad, c_pad, inner, itemsize) is not None
+            or _seqhead_blocks(s_pad, c_pad, inner, head_dim, itemsize)
+            is not None)
 
 
 @functools.partial(
@@ -565,46 +644,75 @@ def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
         wk = jnp.pad(wk, zp)
         wv = jnp.pad(wv, zp)
     s_pad = x_pad.shape[1]
-    if block_q is None or block_k is None:
-        blocks = _fused_qkv_blocks(s_pad, c_pad, inner, itemsize)
-        if blocks is None:
-            raise ValueError(
-                f"fused qkv attention does not fit VMEM at seq={s}, "
-                f"channels={c}, inner={inner} — gate with "
-                "fused_qkv_attention_fits() and fall back to "
-                "flash_attention")
+    use_max = (x.dtype != jnp.bfloat16
+               or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
+    mode = os.environ.get("GSWM_FUSED_QKV_MODE", "")
+    blocks = (None if mode == "seqhead"
+              else _fused_qkv_blocks(s_pad, c_pad, inner, itemsize))
+    if blocks is not None:
         bq = blocks[0] if block_q is None else block_q
         bk = blocks[1] if block_k is None else block_k
-    else:
-        bq, bk = block_q, block_k
-    bq = min(bq, s_pad)
-    bk = min(bk, s_pad)
+        bq, bk = min(bq, s_pad), min(bk, s_pad)
+        kernel = functools.partial(
+            _fused_qkv_kernel, block_q=bq, block_k=bk, heads=heads,
+            head_dim=head_dim, scale=scale, valid_k=s0, use_max=use_max)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, s_pad // bq),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM; manual DMA
+                pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, inner), lambda bi, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s_pad, inner), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((min(512, s_pad), c_pad), x.dtype),  # x chunks
+                pltpu.VMEM((s_pad, inner), x.dtype),            # q
+                pltpu.VMEM((s_pad, inner), x.dtype),            # k
+                pltpu.VMEM((s_pad, inner), x.dtype),            # v
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(x_pad, wq, wk, wv)
+        return out[:, :s0, :]
 
+    sh = _seqhead_blocks(s_pad, c_pad, inner, head_dim, itemsize)
+    if sh is None:
+        raise ValueError(
+            f"fused qkv attention does not fit VMEM at seq={s}, "
+            f"channels={c}, inner={inner} — gate with "
+            "fused_qkv_attention_fits() and fall back to flash_attention")
+    bq = sh[0] if block_q is None else block_q
+    bk = sh[1] if block_k is None else block_k
+    bq, bk = min(bq, s_pad), min(bk, s_pad)
     kernel = functools.partial(
-        _fused_qkv_kernel, block_q=bq, block_k=bk, heads=heads,
-        head_dim=head_dim, scale=scale, valid_k=s0,
-        use_max=(x.dtype != jnp.bfloat16
-                 or os.environ.get("GSWM_ATTN_USE_MAX") == "1"))
+        _fused_qkv_kernel_seqhead, block_q=bq, block_k=bk, heads=heads,
+        head_dim=head_dim, scale=scale, valid_k=s0, use_max=use_max)
     out = pl.pallas_call(
         kernel,
-        grid=(b, s_pad // bq),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM; manual DMA
+            pl.BlockSpec((c_pad, inner), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+            pl.BlockSpec((c_pad, inner), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
+            pl.BlockSpec((c_pad, inner), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, inner), lambda bi, i: (bi, i, 0),
+        out_specs=pl.BlockSpec((1, s_pad, inner), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, inner), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((min(512, s_pad), c_pad), x.dtype),  # x chunk buffer
-            pltpu.VMEM((s_pad, inner), x.dtype),            # q
-            pltpu.VMEM((s_pad, inner), x.dtype),            # k
-            pltpu.VMEM((s_pad, inner), x.dtype),            # v
+            pltpu.VMEM((s_pad, c_pad), x.dtype),      # x (whole image)
+            pltpu.VMEM((s_pad, head_dim), x.dtype),   # per-head k
+            pltpu.VMEM((s_pad, head_dim), x.dtype),   # per-head v
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
