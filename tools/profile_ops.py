@@ -36,22 +36,20 @@ TRACE_DIR = "/tmp/gswm-optrace"
 
 
 def classify(name: str, args: dict) -> str:
-    """Best-effort bucket from the HLO op name + metadata."""
-    meta = " ".join(str(v) for v in args.values()) if args else ""
-    s = (name + " " + meta).lower()
-    if "pallas" in s or "flash" in s or "custom-call" in s:
-        return "attention-kernel"
-    if "conv" in s:
-        return "conv"
-    if "dot" in s or "einsum" in s or "matmul" in s:
-        return "matmul"
-    if any(k in s for k in ("reduce", "rsqrt", "norm", "mean", "variance")):
-        return "norm/reduce"
-    if any(k in s for k in ("copy", "bitcast", "transpose", "reshape",
-                            "broadcast", "convert", "pad", "slice",
-                            "concatenate")):
-        return "layout/copy"
-    return "other"
+    """Bucket by the profiler's own hlo_category — NOT the op name.
+
+    Round-3 lesson: name-based classification mislabeled
+    ``convert_reduce_fusion.*`` ops (3x3 convs with the following
+    GroupNorm's stats fused into their epilogues, running at 142 TF/s) as
+    slow norm reduces and sent a whole optimization effort down the wrong
+    path (docs/BENCH.md "CORRECTION").  The emitted chrome trace carries
+    ``hlo_category`` and ``model_flops`` per op — trust those."""
+    cat = (args or {}).get("hlo_category")
+    if cat:
+        return cat
+    if name.startswith("while"):
+        return "while-wrapper"
+    return "?"
 
 
 def main():
@@ -100,28 +98,45 @@ def main():
                 if pid == dev_pid and n == "XLA Ops"]
     agg = collections.Counter()
     cnt = collections.Counter()
-    buckets = collections.Counter()
+    flops = collections.Counter()
+    byts = collections.Counter()
     sample_args = {}
     for e in ev:
         if (e.get("ph") == "X" and e.get("pid") == dev_pid
                 and e.get("tid") in ops_tids):
             name = e["name"]
+            if name.startswith("while"):
+                continue  # outer loop wrappers double-count their bodies
+            a = e.get("args") or {}
             agg[name] += e["dur"]
             cnt[name] += 1
-            sample_args.setdefault(name, e.get("args") or {})
+            flops[name] += int(a.get("model_flops", 0) or 0)
+            byts[name] += int(a.get("bytes_accessed", 0) or 0)
+            sample_args.setdefault(name, a)
     total = sum(agg.values())
+    buckets = collections.Counter()
+    bflops = collections.Counter()
+    bbytes = collections.Counter()
     for name, d in agg.items():
-        buckets[classify(name, sample_args[name])] += d
-    print(f"\ndevice op time: {total/1e6:.2f} s "
-          f"({100*total/1e6/wall:.0f}% of wall)")
-    print("\n== buckets ==")
+        c = classify(name, sample_args[name])
+        buckets[c] += d
+        bflops[c] += flops[name]
+        bbytes[c] += byts[name]
+    print(f"\ninner device op time: {total/1e6:.2f} s "
+          f"({100*total/1e6/wall:.0f}% of wall; gap = host dispatch)")
+    print(f"\n== buckets ==\n{'category':26s} {'time':>8s} {'share':>6s} "
+          f"{'TF/s':>7s} {'GB/s':>7s}")
     for b, d in buckets.most_common():
-        print(f"{d/1e6:8.2f} s  {100*d/total:5.1f}%  {b}")
+        tf = bflops[b] / (d * 1e-6) / 1e12 if d else 0.0
+        gb = bbytes[b] / (d * 1e-6) / 1e9 if d else 0.0
+        print(f"{b:26s} {d/1e6:8.2f} {100*d/total:5.1f}% {tf:7.1f} {gb:7.0f}")
     print("\n== top 45 ops ==")
     for name, d in agg.most_common(45):
         a = sample_args[name]
-        hint = str(a.get("long_name") or a.get("tf_op") or "")[:70]
-        print(f"{d/1e6:8.3f} s  n={cnt[name]:6d}  {name[:60]:60s} {hint}")
+        tf = flops[name] / (d * 1e-6) / 1e12 if d else 0.0
+        hint = str(a.get("tf_op") or a.get("long_name") or "")[:66]
+        print(f"{d/1e6:8.3f} s  n={cnt[name]:6d} {tf:6.1f}TF/s "
+              f"{name[:44]:44s} {hint}")
 
 
 if __name__ == "__main__":
