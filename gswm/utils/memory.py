@@ -28,8 +28,11 @@ _MEASURED_V5E_16GB = {
     # sd-2-1-base arch, fp32 weights, 30-step DDIM inversion + chunked VAE
     "sd": {
         512: 192,   # 192 measured OK r2 (4.46 imgs/s; 160 is the throughput
-                    # sweet spot at 4.49); 256 RESOURCE_EXHAUSTED r1
-        768: 32,    # 32 measured OK r2 (1.37 imgs/s); 48 crashed r1
+                    # sweet spot at 4.80 r3); 256 RESOURCE_EXHAUSTED r1
+        768: 48,    # 48 measured OK r3 (1.52 imgs/s — the r2 resolution-
+                    # scaled VAE chunking removed the r1 crash); 64 untested
+                    # (projected over-HBM; a failed probe hard-crashes the
+                    # tunneled worker, so not probed)
     },
     # sdxl-base arch, bf16 weights (fp32 params alone are 10.3GB — the
     # pipeline auto-selects bf16 residency for this family, see

@@ -5,12 +5,12 @@ from gswm.utils.memory import suggest_batch
 
 def test_anchors_are_respected():
     assert suggest_batch(512) == 192
-    assert suggest_batch(768) == 32
+    assert suggest_batch(768) == 48
 
 
 def test_never_suggests_known_oom_points():
     assert suggest_batch(512) < 256
-    assert suggest_batch(768) < 48
+    assert suggest_batch(768) < 64  # 64 projected over-HBM, never probed
 
 
 def test_requested_clamps_not_replaces():
@@ -37,7 +37,7 @@ def test_tile_aligned_and_positive():
 
 def test_between_anchor_interpolation_is_not_quadratic():
     # ADVICE r2 (medium): res^2 scaling from the 512 anchor predicts 85@768
-    # where the measured ceiling is 32.  The log-space fit must stay below
+    # where the measured ceiling is 48.  The log-space fit must stay below
     # the naive quadratic prediction from the LOWER anchor for any res
     # between the anchors.
     for res in (576, 640, 704):
@@ -47,7 +47,7 @@ def test_between_anchor_interpolation_is_not_quadratic():
 
 def test_extrapolation_above_anchors_uses_fitted_exponent():
     # beyond 768 the fitted exponent (~4.4) must apply — quadratic from the
-    # 768 anchor would say 32*(768/1024)^2 = 18; the fitted law says ~8.
+    # 768 anchor would say 48*(768/1024)^2 = 27; the fitted law stays lower.
     assert suggest_batch(1024) <= 16
 
 
