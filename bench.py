@@ -92,16 +92,34 @@ def main():
 
     import numpy as np
 
-    def one_pass(rng):
+    # Single-dispatch pass: embed + invert + decode traced as ONE jit, so a
+    # pass costs one host->device dispatch and one fetch instead of ~5 —
+    # each round-trip through the tunneled runtime carries ~30ms, and the
+    # op-level trace shows a wall-minus-device gap of ~1.5-1.9s/pass from
+    # host dispatch (docs/BENCH.md round-3 budget).  This is also the real
+    # serving shape: a production extraction server fuses the chain.
+    # DEFAULT OFF on this environment: the fused module's ~55-min remote
+    # compile crashed the tunneled compile helper outright (connection
+    # refused afterwards) — opt in with GSWM_BENCH_FUSE_DISPATCH=1 on a
+    # runtime with a local compiler.
+    fuse = os.environ.get("GSWM_BENCH_FUSE_DISPATCH", "0") == "1"
+
+    def _chain(rng, images):
         zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
         z_back = pipe.invert(images=images, num_steps=steps, scheduler=sched)
         bits = recover_message_bits(z_back, cfg)
+        return bits, zT[:, 0, 0, 0]
+
+    chain = jax.jit(_chain) if fuse else _chain
+
+    def one_pass(rng):
+        bits, z0 = chain(rng, images)
         # Force a HOST FETCH of the (tiny) result: on the tunneled 'axon'
         # platform jax.block_until_ready returns before execution completes
         # (verified: a 50x8k matmul chain "finishes" in 0.1 ms), so only a
         # device->host read gives truthful wall-clock.  The fetch also folds
         # zT in so the embed stage can't be dead-code-eliminated.
-        return np.asarray(bits), np.asarray(zT[:, 0, 0, 0])
+        return np.asarray(bits), np.asarray(z0)
 
     # warmup/compile
     one_pass(jax.random.key(1))
