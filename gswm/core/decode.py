@@ -43,6 +43,29 @@ def quantize_latent_bits(latents: jax.Array, l: int) -> jax.Array:
     return bits.reshape(bits.shape[:-2] + (-1,))
 
 
+@functools.partial(jax.jit, static_argnames=("l", "message_bits"))
+def _decode_chain(latents: jax.Array, keystream: jax.Array, l: int,
+                  message_bits: int) -> jax.Array:
+    """quantize + XOR-decrypt + majority vote as ONE dispatch.
+
+    The three stages are individually jitted above for unit tests, but the
+    hot extraction path calls this fused chain: on the tunneled runtime
+    every eager dispatch costs ~30 ms of RPC, so the XOR between two jits
+    alone was a measurable slice of the wall-minus-device gap
+    (docs/BENCH.md round-3 budget).
+    """
+    m_bits = quantize_latent_bits(latents, l)
+    payload = m_bits ^ keystream
+    return majority_vote(payload, message_bits)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_keystream(key: bytes, nonce: bytes, n_bits: int) -> jax.Array:
+    """Keystream bits for a fixed (key, nonce) — reused across batch decode
+    calls (the reference recomputes the cipher per image, extract.py:77-87)."""
+    return chacha.keystream_bits(key, nonce, n_bits)
+
+
 @functools.partial(jax.jit, static_argnames=("message_bits",))
 def majority_vote(payload_bits: jax.Array, message_bits: int) -> jax.Array:
     """(..., capacity_bits) decrypted bits -> (..., message_bits) voted bits."""
@@ -66,10 +89,9 @@ def recover_message_bits(
     cfg = cfg.resolved()
     if keystream is None:
         key, nonce = cfg.resolve_key_nonce()
-        keystream = chacha.keystream_bits(key, nonce, cfg.capacity_bits)
-    m_bits = quantize_latent_bits(jnp.asarray(latents), cfg.l)
-    payload = m_bits ^ keystream
-    return majority_vote(payload, cfg.resolved_message_bits)
+        keystream = _cached_keystream(key, nonce, cfg.capacity_bits)
+    return _decode_chain(jnp.asarray(latents), keystream, cfg.l,
+                         cfg.resolved_message_bits)
 
 
 def decode_latents(latents: jax.Array, cfg: GSConfig) -> str | list[str]:

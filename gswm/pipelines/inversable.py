@@ -339,25 +339,35 @@ class InversablePipeline:
         return max(4, int(self.vae_chunk / scale) & ~3)
 
     def _vae_chunked(self, x, method):
+        return self._vae_chunked_with(self.vae_params, x, method)
+
+    def _vae_chunked_with(self, vae_params, x, method):
         b = x.shape[0]
         c = self._vae_chunk_for(x)
         if b <= c:
-            return self.vae.apply(self.vae_params, x, method=method)
+            return self.vae.apply(vae_params, x, method=method)
         pad = (-b) % c
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
         xs = x.reshape(-1, c, *x.shape[1:])
         out = jax.lax.map(
-            lambda ch: self.vae.apply(self.vae_params, ch, method=method), xs
+            lambda ch: self.vae.apply(vae_params, ch, method=method), xs
         )
         out = out.reshape(-1, *out.shape[2:])
         return out[:b]
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _encode_jit(self, vae_params, images) -> jax.Array:
+        # One dispatch for normalize + pad + chunked encode + slice: each
+        # eager op between jits costs ~30 ms of RPC on the tunneled runtime
+        # (docs/BENCH.md round-3 wall-minus-device budget).
+        x = 2.0 * images.astype(jnp.float32) - 1.0
+        return self._vae_chunked_with(vae_params, x, AutoencoderKL.encode)
+
     def image_to_latents(self, images) -> jax.Array:
         """images (B,3,H,W) in [0,1] -> scaled posterior-MEAN latents
         (extract.py:39-43 parity, including the 2x-1 normalization)."""
-        x = 2.0 * jnp.asarray(images, jnp.float32) - 1.0
-        return self._vae_chunked(x, AutoencoderKL.encode)
+        return self._encode_jit(self.vae_params, jnp.asarray(images))
 
     def invert(
         self,
