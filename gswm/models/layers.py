@@ -223,6 +223,33 @@ class Attention(nn.Module):
         return fused_qkv_attention_fits(
             s, x.shape[-1], self.heads * self.head_dim, self.dtype)
 
+    def _use_packed(self, x) -> bool:
+        """Route self-attention to the pair-packed kernel (two d=64 heads
+        per 128-lane block, one qkv matmul, zero relayouts — see
+        ops.attention.flash_attention_packed)?  Covers the shapes ABOVE the
+        fused-qkv window (lvl0's 4096 tokens) where the whole-x-in-VMEM
+        fused kernel loses but the split path pays ~13 ms/step of
+        {1,2,0}->{2,1,0} copies.  GSWM_PACKED_ATTN=0 disables for A/B."""
+        if os.environ.get("GSWM_PACKED_ATTN") == "0":
+            return False
+        if self.head_dim != 64:
+            return False
+        s = x.shape[1]
+        lo = int(os.environ.get("GSWM_PACKED_ATTN_MIN_SEQ", "2305"))
+        if s < lo:
+            return False  # fused-qkv window; below that, einsum
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            names = getattr(mesh, "axis_names", ()) or ()
+            for ax in ("tp", "sp"):
+                if ax in names and mesh.shape[ax] > 1:
+                    return False  # head/seq sharding needs the split path
+        except Exception:
+            pass
+        from gswm.ops.attention import packed_attention_fits
+
+        return packed_attention_fits(s, self.dtype)
+
     @nn.compact
     def __call__(self, x, context=None):
         ctx = x if context is None else context
@@ -234,6 +261,29 @@ class Attention(nn.Module):
         # mode) so kernel numerics are testable on the virtual CPU mesh.
         on_device = (jax.default_backend() == "tpu"
                      or os.environ.get("GSWM_FORCE_FLASH") == "1")
+        if (context is None and on_device
+                and wq[1] is None and wk[1] is None and wv[1] is None
+                and self._use_packed(x)):
+            from gswm.ops.attention import flash_attention_packed
+
+            pairs = -(-self.heads // 2)
+            cpk = pairs * 128
+
+            def padw(w):
+                w = w.astype(self.dtype)
+                if cpk == inner:
+                    return w
+                return jnp.pad(w, ((0, 0), (0, cpk - inner)))
+
+            # One qkv matmul into the pair-packed lane layout; the weight
+            # pad/concat is loop-invariant so XLA hoists it out of the scan.
+            wqkv = jnp.concatenate([padw(wq[0]), padw(wk[0]), padw(wv[0])],
+                                   axis=1)
+            out = flash_attention_packed(
+                jnp.dot(x.astype(self.dtype), wqkv), self.head_dim)
+            if cpk != inner:
+                out = out[:, :, :inner]
+            return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
         if (context is None and on_device
                 and wq[1] is None and wk[1] is None and wv[1] is None
                 and self._use_fused_qkv(x)):

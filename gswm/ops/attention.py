@@ -720,6 +720,108 @@ def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
     return out[:, :s0, :]
 
 
+def _flash_kernel_pair(q_ref, k_ref, v_ref, o_ref, *, block_q: int,
+                       block_k: int, scale: float, valid_k: int,
+                       use_max: bool, head_dim: int):
+    """Two d=64 heads per 128-lane grid block (the pair-packed layout).
+
+    The halves are STATIC lane slices of the resident (1, S, 128) blocks
+    (measured free in the fused-qkv kernel); each half runs the same online
+    softmax recurrence as the head-resident tier.  A zero pair half (odd
+    head counts pad the projection WEIGHTS with zero columns) produces
+    uniform-softmax x zero values = zero output — no masking needed, and
+    to_out's matching zero rows drop it.
+    """
+    seq_q = q_ref.shape[1]
+    seq_k = k_ref.shape[1]
+    for lo in (0, head_dim):  # static unroll: the two packed heads
+
+        def k_get(kb, lo=lo):
+            return k_ref[0, pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        def v_get(kb, lo=lo):
+            return v_ref[0, pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        def q_tile(qi, _, lo=lo, k_get=k_get, v_get=v_get):
+            q = q_ref[0, pl.ds(qi * block_q, block_q), lo:lo + head_dim]
+            q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+            out = _attend_kv_loop(q, k_get, v_get, block_k=block_k,
+                                  valid_k=valid_k, use_max=use_max,
+                                  seq_k=seq_k)
+            o_ref[0, pl.ds(qi * block_q, block_q),
+                  lo:lo + head_dim] = out.astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, seq_q // block_q, q_tile, 0)
+
+
+def packed_attention_fits(seq: int, dtype=jnp.bfloat16) -> bool:
+    """Does the pair-packed resident layout fit VMEM at this sequence?
+
+    Blocks are (1, S_pad, 128) for q/k/v/o, double-buffered by Pallas, plus
+    the fp32 logits tile: 8*S*128*itemsize + block_q*block_k*8.  4096 tokens
+    bf16 = 8.4 MB + 2 MB -> fits; 9216 (768-class lvl0) = 18.9 MB -> no.
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    s_pad = -(-seq // 256) * 256
+    return 8 * s_pad * 128 * itemsize + 256 * 1024 * 8 <= 13 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("head_dim", "block_q", "block_k", "interpret")
+)
+def flash_attention_packed(qkv, head_dim: int = 64,
+                           block_q: int | None = None,
+                           block_k: int | None = None,
+                           interpret: bool | None = None):
+    """Pair-packed self-attention: one (B, S, 3*P*128) qkv array -> (B, S, P*128).
+
+    Lane layout: q heads at [0, P*128), k at [P*128, 2*P*128), v at
+    [2*P*128, 3*P*128); within each, heads (2p, 2p+1) at [128p, 128p+128) —
+    which is exactly the natural (B, S, H*64) projection output order, so
+    for even head counts the packed layout IS the qkv matmul output and for
+    odd counts only the projection WEIGHTS are zero-padded (free: folded at
+    compile time).  The SAME array is passed as three pallas operands whose
+    index maps select the q/k/v 128-lane groups, so there is no split, no
+    reshape, no transpose, and no 64-offset lane slice anywhere in the XLA
+    graph — the relayout copies that cost ~13 ms/step around the lvl0
+    split-projection path (docs/BENCH.md round-3 copy budget) vanish.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, c3 = qkv.shape
+    assert c3 % (3 * 128) == 0 and head_dim == 64, (c3, head_dim)
+    pairs = c3 // (3 * 128)
+    scale = head_dim**-0.5
+    use_max = (qkv.dtype != jnp.bfloat16
+               or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
+    bq = 256 if block_q is None else block_q
+    bk = min(2048, 1 << (s - 1).bit_length()) if block_k is None else block_k
+    qkvp, s0 = _pad_to(qkv, 1, max(bq, bk))
+    s_pad = qkvp.shape[1]
+    kernel = functools.partial(_flash_kernel_pair, block_q=bq, block_k=bk,
+                               scale=scale, valid_k=s0, use_max=use_max,
+                               head_dim=head_dim)
+
+    def spec(group):
+        return pl.BlockSpec(
+            (1, s_pad, 128),
+            lambda g, group=group: (g // pairs, 0, group * pairs + g % pairs),
+            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * pairs,),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, s_pad, 128),
+                               lambda g: (g // pairs, 0, g % pairs),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, pairs * 128), qkv.dtype),
+        interpret=interpret,
+    )(qkvp, qkvp, qkvp)
+    return out[:, :s0, :]
+
+
 def flash_attention_sharded(q, k, v, **kw):
     """flash_attention partitioned over a 'tp' mesh axis — by heads.
 
