@@ -281,9 +281,14 @@ class Attention(nn.Module):
                                    axis=1)
             out = flash_attention_packed(
                 jnp.dot(x.astype(self.dtype), wqkv), self.head_dim)
+            # to_out with ROW-padded weights (zero rows under the pad head)
+            # instead of slicing the activation back to ``inner`` — the
+            # slice would be one more 419MB-class copy per lvl0 site.
+            wo, bo = ProjWeights(inner, use_bias=True, name="to_out")(inner)
+            wo = wo.astype(self.dtype)
             if cpk != inner:
-                out = out[:, :, :inner]
-            return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+                wo = jnp.pad(wo, ((0, cpk - inner), (0, 0)))
+            return jnp.dot(out, wo) + bo.astype(self.dtype)
         if (context is None and on_device
                 and wq[1] is None and wk[1] is None and wv[1] is None
                 and self._use_fused_qkv(x)):
