@@ -35,6 +35,7 @@ sys.path.insert(0, ".")
 from gswm.ops.attention import (  # noqa: E402
     flash_attention,
     flash_attention_fused_qkv,
+    flash_attention_packed,
 )
 
 SHAPES = {
@@ -56,12 +57,30 @@ def make_fn(variant, b, s, c, h, d):
 
     def attn(x):
         if variant == "floor":
-            return x[..., :inner] if inner < c else jnp.pad(
+            o = x[..., :inner] if inner < c else jnp.pad(
                 x, ((0, 0), (0, 0), (0, inner - c)))
+            return o, wout
         if variant == "fusedk":
             return flash_attention_fused_qkv(
                 x, wqkv[:, :inner], wqkv[:, inner:2 * inner],
-                wqkv[:, 2 * inner:], h, d)
+                wqkv[:, 2 * inner:], h, d), wout
+        if variant == "packed":
+            # pair-packed: one qkv matmul with weight-padded head pairs,
+            # row-padded to_out — the shipped routing for s > 2304
+            pairs = -(-h // 2)
+            cpk = pairs * 128
+
+            def padw(w):
+                return w if cpk == inner else jnp.pad(
+                    w, ((0, 0), (0, cpk - inner)))
+
+            wp = jnp.concatenate(
+                [padw(wqkv[:, :inner]), padw(wqkv[:, inner:2 * inner]),
+                 padw(wqkv[:, 2 * inner:])], axis=1)
+            o = flash_attention_packed(jnp.dot(x, wp), d)
+            wo = wout if cpk == inner else jnp.pad(
+                wout, ((0, cpk - inner), (0, 0)))
+            return o, wo
         if variant == "current":
             qkv = jnp.dot(x, wqkv)
             q, k, v = jnp.split(qkv, [inner, 2 * inner], axis=-1)
@@ -72,12 +91,13 @@ def make_fn(variant, b, s, c, h, d):
         def heads(t):
             return t.reshape(b, s, h, d)
         o = flash_attention(heads(q), heads(k), heads(v))
-        return o.reshape(b, s, inner)
+        return o.reshape(b, s, inner), wout
 
     @jax.jit
     def run(x0, wqkv, wout):
         def step(x, _):
-            o = jnp.dot(attn(x), wout)
+            o, w = attn(x)
+            o = jnp.dot(o, w)
             return (x + 0.1 * o).astype(x.dtype), ()
 
         y, _ = jax.lax.scan(step, x0, None, length=4)
@@ -107,7 +127,7 @@ def main():
         b, s, c, h, d = SHAPES[name]
         print(f"{name}: (b={b}, s={s}, c={c}, h={h}, d={d})", flush=True)
         base = None
-        for variant in ["floor", "current", "separate", "fusedk"]:
+        for variant in ["floor", "current", "separate", "fusedk", "packed"]:
             try:
                 fn = make_fn(variant, b, s, c, h, d)
                 t = delta_time(fn) / 4
