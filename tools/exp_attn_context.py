@@ -45,6 +45,8 @@ SHAPES = {
     "lvl2": (160, 256, 1280, 20, 64),
     "lvl0_768": (32, 9216, 320, 5, 64),
     "lvl1_768": (32, 2304, 640, 10, 64),
+    "lvl2_768": (32, 576, 1280, 20, 64),
+    "sdxl_lvl1": (2, 4096, 1280, 20, 64),
 }
 
 
