@@ -229,8 +229,11 @@ class Attention(nn.Module):
         ops.attention.flash_attention_packed)?  Covers the shapes ABOVE the
         fused-qkv window (lvl0's 4096 tokens) where the whole-x-in-VMEM
         fused kernel loses but the split path pays ~13 ms/step of
-        {1,2,0}->{2,1,0} copies.  GSWM_PACKED_ATTN=0 disables for A/B."""
-        if os.environ.get("GSWM_PACKED_ATTN") == "0":
+        {1,2,0}->{2,1,0} copies.  GSWM_PACKED_ATTN=1 enables; stays opt-in
+        until the kernel is validated through the real Mosaic compiler (it
+        was built against a downed tunnel with interpret-mode CI only — an
+        unvalidated default could crash the driver's end-of-round bench)."""
+        if os.environ.get("GSWM_PACKED_ATTN", "0") != "1":
             return False
         if self.head_dim != 64:
             return False

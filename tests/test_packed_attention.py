@@ -84,6 +84,7 @@ def test_layer_routes_packed(monkeypatch):
     from gswm.models.layers import Attention
 
     monkeypatch.setenv("GSWM_FORCE_FLASH", "1")
+    monkeypatch.setenv("GSWM_PACKED_ATTN", "1")
     monkeypatch.setenv("GSWM_PACKED_ATTN_MIN_SEQ", "256")
     b, s, c, h, d = 1, 256, 96, 3, 64
     x = jax.random.normal(jax.random.key(2), (b, s, c))
@@ -91,7 +92,7 @@ def test_layer_routes_packed(monkeypatch):
     params = mod.init(jax.random.key(3), x)
     assert mod.bind(params)._use_packed(x)
     got = mod.apply(params, x)
-    monkeypatch.setenv("GSWM_PACKED_ATTN", "0")
+    monkeypatch.delenv("GSWM_PACKED_ATTN")
     monkeypatch.setenv("GSWM_FLASH_MIN_SEQ", "99999")  # einsum reference
     want = mod.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
