@@ -1,0 +1,73 @@
+"""Validate flash_attention_packed through the real Mosaic compiler.
+
+Small shapes first (seconds to compile), then the SD lvl0 shape at small
+batch.  Run BEFORE enabling GSWM_PACKED_ATTN=1 in any full bench — the
+kernel was developed against interpret-mode CI while the tunnel was down.
+
+    python tools/exp_packed_validate.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
+sys.path.insert(0, ".")
+
+from gswm.ops.attention import (  # noqa: E402
+    flash_attention_packed,
+    reference_attention,
+)
+
+
+def pack(q, k, v, pairs):
+    b, s, h, d = q.shape
+
+    def f(t):
+        t = t.reshape(b, s, h * d)
+        pad = pairs * 128 - h * d
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pad))) if pad else t
+
+    return jnp.concatenate([f(q), f(k), f(v)], axis=-1)
+
+
+def check(b, s, h, dtype, atol):
+    d = 64
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(kq, (b, s, h, d)).astype(dtype)
+    k = jax.random.normal(kk, (b, s, h, d)).astype(dtype)
+    v = jax.random.normal(kv, (b, s, h, d)).astype(dtype)
+    pairs = -(-h // 2)
+    qkv = pack(q, k, v, pairs)
+    t0 = time.perf_counter()
+    got = flash_attention_packed(qkv, d, interpret=False)
+    got = np.asarray(got).astype(np.float32)
+    dt = time.perf_counter() - t0
+    want = np.asarray(reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )).reshape(b, s, h * d)
+    err = float(np.max(np.abs(got[:, :, : h * d] - want)))
+    pad_ok = (pairs * 128 == h * d
+              or float(np.max(np.abs(got[:, :, h * d:]))) == 0.0)
+    print(f"  b={b} s={s} h={h} {jnp.dtype(dtype).name}: max err {err:.2e} "
+          f"pad_zero={pad_ok} ({dt:.1f}s incl compile)", flush=True)
+    assert err < atol and pad_ok, (err, atol, pad_ok)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    # tiny first (fast compile; fails fast if Mosaic rejects the kernel)
+    check(2, 256, 2, jnp.float32, 2e-5)
+    check(1, 256, 3, jnp.bfloat16, 0.08)   # odd heads + nomax path
+    # the SD lvl0 shape (4096 tokens, 5 heads) at small batch
+    check(4, 4096, 5, jnp.bfloat16, 0.08)
+    print("packed kernel VALIDATED on real TPU", flush=True)
+
+
+if __name__ == "__main__":
+    main()
