@@ -443,6 +443,10 @@ def _fused_qkv_kernel(x_hbm, wq_ref, wk_ref, wv_ref, o_ref,
     dtype = o_ref.dtype
     chunk = x_vmem.shape[0]
     s_pad = k_vmem.shape[0]
+    # chunk must tile the padded sequence exactly, else the tail K/V rows
+    # inside valid_k are never projected (garbage keys — the s_pad=2304
+    # bug caught by interpret-mode NaN scratch, round 3)
+    assert s_pad % chunk == 0, (s_pad, chunk)
 
     @pl.when(i == 0)
     def _():
@@ -672,7 +676,12 @@ def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, s_pad, inner), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((min(512, s_pad), c_pad), x.dtype),  # x chunks
+                # x DMA chunk: must DIVIDE s_pad (s_pad is always a multiple
+                # of 256 or a power of two below it) — min(512, s_pad) left
+                # the 2304-token tail unprojected (garbage K/V rows inside
+                # valid_k; found by interpret-mode NaN scratch, round 3)
+                pltpu.VMEM((min(512 if s_pad % 512 == 0 else 256, s_pad),
+                            c_pad), x.dtype),
                 pltpu.VMEM((s_pad, inner), x.dtype),            # q
                 pltpu.VMEM((s_pad, inner), x.dtype),            # k
                 pltpu.VMEM((s_pad, inner), x.dtype),            # v
@@ -755,16 +764,64 @@ def _flash_kernel_pair(q_ref, k_ref, v_ref, o_ref, *, block_q: int,
         jax.lax.fori_loop(0, seq_q // block_q, q_tile, 0)
 
 
-def packed_attention_fits(seq: int, dtype=jnp.bfloat16) -> bool:
-    """Does the pair-packed resident layout fit VMEM at this sequence?
+def _flash_kernel_pair_kvres(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
+                             scale: float, valid_k: int, use_max: bool,
+                             head_dim: int):
+    """Pair-packed KV-resident tier: grid (B*P, n_q_tiles) with the pair's
+    K/V (1, S, 128) blocks constant along the q dimension (fetched once per
+    pair, like _flash_kernel_kvres) and one (1, block_q, 128) q/o tile per
+    step.  Covers the 768-class 9216-token shape where the pair-resident
+    layout (q+k+v+o all in VMEM) exceeds the budget."""
+    seq_k = k_ref.shape[1]
+    for lo in (0, head_dim):  # static unroll: the two packed heads
 
-    Blocks are (1, S_pad, 128) for q/k/v/o, double-buffered by Pallas, plus
-    the fp32 logits tile: 8*S*128*itemsize + block_q*block_k*8.  4096 tokens
-    bf16 = 8.4 MB + 2 MB -> fits; 9216 (768-class lvl0) = 18.9 MB -> no.
+        def k_get(kb, lo=lo):
+            return k_ref[0, pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        def v_get(kb, lo=lo):
+            return v_ref[0, pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        q = q_ref[0, :, lo:lo + head_dim]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+        out = _attend_kv_loop(q, k_get, v_get, block_k=block_k,
+                              valid_k=valid_k, use_max=use_max, seq_k=seq_k)
+        o_ref[0, :, lo:lo + head_dim] = out.astype(o_ref.dtype)
+
+
+_PACKED_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _packed_resident_bytes(s_pad: int, itemsize: int) -> int:
+    """Pair-resident layout: (1, S_pad, 128) q/k/v/o blocks, double-buffered
+    by Pallas (8 block-arrays total), plus the fp32 logits + exp tile."""
+    return 8 * s_pad * 128 * itemsize + 256 * 1024 * 8
+
+
+def _packed_kvres_bytes(s_pad: int, itemsize: int, block_q: int = 256,
+                        block_k: int = 1024) -> int:
+    """Pair KV-resident / q-streamed layout: K+V (1, S_pad, 128) blocks
+    double-buffered, q/o (1, block_q, 128) tiles double-buffered, fp32
+    logits + exp temporary, fp32 accumulator."""
+    return (4 * s_pad * 128 * itemsize
+            + 4 * block_q * 128 * itemsize
+            + 2 * block_q * block_k * 4
+            + block_q * 64 * 4)
+
+
+def packed_attention_fits(seq: int, dtype=jnp.bfloat16) -> bool:
+    """Does any pair-packed layout fit VMEM at this sequence?
+
+    Resident tier: 8*S*128*itemsize + logits.  4096 tokens bf16 = 8.4 MB +
+    2 MB -> fits; 9216 (768-class lvl0) = 18.9 MB -> no.  The KV-resident
+    tier (K/V per pair resident, q tiles streamed) covers 9216 at 11.8 MB;
+    SDXL's 16384 (16.9 MB) stays on the split flash path.
     """
     itemsize = jnp.dtype(dtype).itemsize
-    s_pad = -(-seq // 256) * 256
-    return 8 * s_pad * 128 * itemsize + 256 * 1024 * 8 <= 13 * 1024 * 1024
+    s_res = -(-seq // 256) * 256
+    if _packed_resident_bytes(s_res, itemsize) <= _PACKED_VMEM_BUDGET:
+        return True
+    s_kv = -(-seq // 1024) * 1024
+    return _packed_kvres_bytes(s_kv, itemsize) <= _PACKED_VMEM_BUDGET
 
 
 @functools.partial(
@@ -795,27 +852,77 @@ def flash_attention_packed(qkv, head_dim: int = 64,
     scale = head_dim**-0.5
     use_max = (qkv.dtype != jnp.bfloat16
                or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    # Tier choice mirrors _flash_bhsd: pair-resident while q+k+v+o fit VMEM
+    # (through 4096 tokens), else pair KV-resident / q-streamed (through
+    # 9216).  GSWM_PACKED_TIER forces one (resident|kvres) for A/B tests.
+    force_tier = os.environ.get("GSWM_PACKED_TIER")
+    s_r = -(-s // 256) * 256
+    use_resident = (
+        _packed_resident_bytes(s_r, itemsize) <= _PACKED_VMEM_BUDGET
+        if force_tier is None else force_tier == "resident")
+
+    if use_resident:
+        bq = 256 if block_q is None else block_q
+        bk = (min(2048, 1 << (s - 1).bit_length())
+              if block_k is None else block_k)
+        qkvp, s0 = _pad_to(qkv, 1, max(bq, bk))
+        s_pad = qkvp.shape[1]
+        kernel = functools.partial(_flash_kernel_pair, block_q=bq,
+                                   block_k=bk, scale=scale, valid_k=s0,
+                                   use_max=use_max, head_dim=head_dim)
+
+        def spec(group):
+            return pl.BlockSpec(
+                (1, s_pad, 128),
+                lambda g, group=group: (g // pairs, 0,
+                                        group * pairs + g % pairs),
+                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * pairs,),
+            in_specs=[spec(0), spec(1), spec(2)],
+            out_specs=pl.BlockSpec((1, s_pad, 128),
+                                   lambda g: (g // pairs, 0, g % pairs),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s_pad, pairs * 128),
+                                           qkv.dtype),
+            interpret=interpret,
+        )(qkvp, qkvp, qkvp)
+        return out[:, :s0, :]
+
+    # Pair KV-resident tier (the 768-class 9216-token shape).
     bq = 256 if block_q is None else block_q
-    bk = min(2048, 1 << (s - 1).bit_length()) if block_k is None else block_k
+    bk = (min(1024, 1 << (s - 1).bit_length())
+          if block_k is None else block_k)
     qkvp, s0 = _pad_to(qkv, 1, max(bq, bk))
     s_pad = qkvp.shape[1]
-    kernel = functools.partial(_flash_kernel_pair, block_q=bq, block_k=bk,
+    if (force_tier is None and _packed_kvres_bytes(s_pad, itemsize, bq, bk)
+            > _PACKED_VMEM_BUDGET):
+        raise ValueError(
+            f"packed attention does not fit VMEM at seq={s} — gate with "
+            "packed_attention_fits() and fall back to flash_attention")
+    kernel = functools.partial(_flash_kernel_pair_kvres, block_k=bk,
                                scale=scale, valid_k=s0, use_max=use_max,
                                head_dim=head_dim)
 
-    def spec(group):
+    def spec_kv(group):
+        # constant along the q-tile dimension: fetched once per pair
         return pl.BlockSpec(
             (1, s_pad, 128),
-            lambda g, group=group: (g // pairs, 0, group * pairs + g % pairs),
+            lambda g, qi, group=group: (g // pairs, 0,
+                                        group * pairs + g % pairs),
             memory_space=pltpu.VMEM)
 
+    qo_spec = pl.BlockSpec((1, bq, 128),
+                           lambda g, qi: (g // pairs, qi, g % pairs),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(b * pairs,),
-        in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec((1, s_pad, 128),
-                               lambda g: (g // pairs, 0, g % pairs),
-                               memory_space=pltpu.VMEM),
+        grid=(b * pairs, s_pad // bq),
+        in_specs=[qo_spec, spec_kv(1), spec_kv(2)],
+        out_specs=qo_spec,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, pairs * 128), qkv.dtype),
         interpret=interpret,
     )(qkvp, qkvp, qkvp)

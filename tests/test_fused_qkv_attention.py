@@ -27,6 +27,11 @@ from gswm.ops.attention import (
     (2, 256, 64, 2, 32),
     (1, 300, 64, 2, 32),    # ragged: padded rows sliced, padded keys masked
     (1, 512, 128, 4, 32),
+    # s_pad NOT a multiple of the 512-row x-DMA chunk: regression for the
+    # unprojected-tail-K/V bug (rows past the last full chunk were garbage
+    # inside valid_k; 768x768 lvl1's 2304 tokens is the shipped shape)
+    (1, 640, 96, 3, 64),
+    (1, 2304, 128, 2, 64),
 ])
 def test_matches_projection_plus_reference(b, s, c, h, d):
     kx, kq, kk, kv = jax.random.split(jax.random.key(0), 4)

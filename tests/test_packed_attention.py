@@ -73,9 +73,36 @@ def test_bf16_nomax_close_to_fp32():
 
 
 def test_fits_policy():
-    assert packed_attention_fits(4096)          # SD lvl0 at 512x512
-    assert not packed_attention_fits(9216)      # 768-class lvl0: too big
-    assert not packed_attention_fits(16384)     # SDXL lvl0
+    assert packed_attention_fits(4096)          # SD lvl0 at 512x512: resident
+    assert packed_attention_fits(9216)          # 768-class lvl0: kvres tier
+    assert not packed_attention_fits(16384)     # SDXL lvl0: split path
+
+
+@pytest.mark.parametrize("b,s,h", [
+    (2, 640, 2),    # even heads
+    (1, 640, 5),    # odd heads: zero-padded pair half
+    (1, 330, 3),    # ragged sequence: padded keys masked, rows sliced
+])
+def test_kvres_tier_matches_reference(b, s, h, monkeypatch):
+    """The pair KV-resident tier (q-streamed grid) matches reference
+    numerics; it is the layout used at 768-class 9216-token shapes where
+    the pair-resident blocks exceed VMEM.  The forced tier is read at trace
+    time, so the jit cache is cleared around the force (shapes here are
+    also distinct from the resident-tier tests)."""
+    monkeypatch.setenv("GSWM_PACKED_TIER", "kvres")
+    flash_attention_packed._clear_cache()
+    d = 64
+    kq, kk, kv = jax.random.split(jax.random.key(4), 3)
+    q = jax.random.normal(kq, (b, s, h, d))
+    k = jax.random.normal(kk, (b, s, h, d))
+    v = jax.random.normal(kv, (b, s, h, d))
+    pairs = -(-h // 2)
+    got = flash_attention_packed(_pack_qkv(q, k, v, pairs), d, interpret=True)
+    want = reference_attention(q, k, v).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(got[:, :, : h * d]),
+                               np.asarray(want), atol=2e-5)
+    if pairs * 128 != h * d:
+        np.testing.assert_array_equal(np.asarray(got[:, :, h * d:]), 0.0)
 
 
 def test_layer_routes_packed(monkeypatch):

@@ -66,7 +66,20 @@ def main():
     check(1, 256, 3, jnp.bfloat16, 0.08)   # odd heads + nomax path
     # the SD lvl0 shape (4096 tokens, 5 heads) at small batch
     check(4, 4096, 5, jnp.bfloat16, 0.08)
-    print("packed kernel VALIDATED on real TPU", flush=True)
+    print("pair-resident tier VALIDATED", flush=True)
+    # KV-resident tier: forced at a small shape first, then the real
+    # 768-class shape (9216 tokens) where the policy picks it naturally
+    import os
+
+    os.environ["GSWM_PACKED_TIER"] = "kvres"
+    from gswm.ops import attention as A
+
+    A.flash_attention_packed._clear_cache()
+    check(2, 640, 2, jnp.float32, 2e-5)
+    del os.environ["GSWM_PACKED_TIER"]
+    A.flash_attention_packed._clear_cache()
+    check(1, 9216, 5, jnp.bfloat16, 0.08)  # 768x768 lvl0, kvres by policy
+    print("packed kernel VALIDATED on real TPU (both tiers)", flush=True)
 
 
 if __name__ == "__main__":

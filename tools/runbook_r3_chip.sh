@@ -45,7 +45,7 @@ PACKED_OK=0
 run packed_validate 3600 python tools/exp_packed_validate.py && PACKED_OK=1
 
 if [ "$PACKED_OK" = 1 ]; then
-  run attn_context_lvl0 5400 python tools/exp_attn_context.py lvl0
+  run attn_context_lvl0 7200 python tools/exp_attn_context.py lvl0 lvl0_768 lvl1_768
 fi
 
 run bench_sync 5400 env GSWM_BENCH_SYNC_EVERY_PASS=1 python bench.py
@@ -56,6 +56,11 @@ if [ "$PACKED_OK" = 1 ]; then
 fi
 
 run bench_768 5400 env GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=48 python bench.py
+
+if [ "$PACKED_OK" = 1 ]; then
+  run bench_768_packed 5400 env GSWM_PACKED_ATTN=1 GSWM_BENCH_RES=768 \
+    GSWM_BENCH_BATCH=48 python bench.py
+fi
 
 run gn_formulations 5400 python tools/exp_gn_formulations.py
 
