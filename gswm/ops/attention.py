@@ -606,7 +606,11 @@ def _seqhead_blocks(s_pad, c_pad, inner, head_dim, itemsize):
 def fused_qkv_attention_fits(seq: int, channels: int, inner: int,
                              dtype=jnp.bfloat16, head_dim: int = 64) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
-    s_pad = -(-seq // 128) * 128
+    # EXACTLY the caller's padding rule (flash_attention_fused_qkv): a
+    # smaller pad here could approve a shape whose padded form then finds
+    # no dividing block config and raises instead of falling back.
+    pad_unit = 256 if seq >= 256 else max(128, 1 << (seq - 1).bit_length())
+    s_pad = -(-seq // pad_unit) * pad_unit
     c_pad = -(-channels // 128) * 128
     return (_fused_qkv_blocks(s_pad, c_pad, inner, itemsize) is not None
             or _seqhead_blocks(s_pad, c_pad, inner, head_dim, itemsize)
