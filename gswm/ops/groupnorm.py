@@ -62,9 +62,12 @@ _ROW_TILE_BYTES = 1 << 20
 
 def _row_tile(hw: int, c: int, itemsize: int) -> int:
     rt = max(1, _ROW_TILE_BYTES // (c * itemsize))
-    # hw is H*W of a pow2-sided image -> pow2; keep rt a pow2 divisor.
-    rt = 1 << (rt.bit_length() - 1)
-    return min(hw, rt)
+    rt = min(hw, 1 << (rt.bit_length() - 1))
+    # rt must DIVIDE hw or the stats/apply loops drop the tail rows (hw is
+    # a pow2 only for pow2-sided images; 768x768's latent hw=9216 is not).
+    while hw % rt:
+        rt //= 2
+    return rt
 
 
 def _onehot(c: int, groups: int):
