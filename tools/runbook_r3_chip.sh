@@ -64,4 +64,10 @@ fi
 
 run gn_formulations 5400 python tools/exp_gn_formulations.py
 
+if [ "$PACKED_OK" = 1 ]; then
+  # op-category budget with the packed tier on: the copy-category delta is
+  # the evidence for the BENCH.md round-3 table
+  run profile_packed 5400 env GSWM_PACKED_ATTN=1 python tools/profile_ops.py 160 30
+fi
+
 log "runbook complete"
