@@ -249,6 +249,12 @@ class Attention(nn.Module):
                     return False  # head/seq sharding needs the split path
         except Exception:
             pass
+        # GSWM_PACKED_ATTN_MAX_SEQ=N additionally admits sequences up to N
+        # through the pair streaming-K tier (any length; SDXL's 16384) —
+        # separate opt-in until that tier is A/B'd against the split path.
+        hi = int(os.environ.get("GSWM_PACKED_ATTN_MAX_SEQ", "0"))
+        if hi and s <= hi:
+            return True
         from gswm.ops.attention import packed_attention_fits
 
         return packed_attention_fits(s, self.dtype)

@@ -792,6 +792,63 @@ def _flash_kernel_pair_kvres(q_ref, k_ref, v_ref, o_ref, *, block_k: int,
         o_ref[0, :, lo:lo + head_dim] = out.astype(o_ref.dtype)
 
 
+def _flash_kernel_pair_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+                               acc_ref, *, scale: float, valid_k: int,
+                               block_k: int, use_max: bool, head_dim: int):
+    """Pair-packed streaming-K tier: one (q-tile, k-tile) pair per grid step
+    with the innermost grid dim walking k-tiles sequentially (scratch
+    persists), like _flash_kernel_streamk but on (1, *, 128) pair blocks.
+    The two 64-lane halves keep separate m/l scratch COLUMNS and separate
+    accumulator LANE ranges.  Scales to any sequence (SDXL's 16384) with
+    the packed layout's zero-relayout property."""
+    kb = pl.program_id(2)
+    n_kb = pl.num_programs(2)
+    block_q = q_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    for idx, lo in enumerate((0, head_dim)):  # static unroll: the two heads
+        half = slice(lo, lo + head_dim)
+        col_l = slice(idx, idx + 1)
+        q = q_ref[0, :, half]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0, :, half]
+        v = v_ref[0, :, half]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        if valid_k % block_k:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col < valid_k, s, -1e30)
+        if use_max:
+            m = m_ref[:, col_l]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new).astype(p_dtype)
+            alpha = jnp.exp(m - m_new)
+            l_ref[:, col_l] = l_ref[:, col_l] * alpha + jnp.sum(
+                p.astype(jnp.float32), axis=-1, keepdims=True)
+            acc_ref[:, half] = acc_ref[:, half] * alpha + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            m_ref[:, col_l] = m_new
+        else:
+            p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
+            l_ref[:, col_l] = l_ref[:, col_l] + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            acc_ref[:, half] = acc_ref[:, half] + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        for idx, lo in enumerate((0, head_dim)):
+            o_ref[0, :, lo:lo + head_dim] = (
+                acc_ref[:, lo:lo + head_dim] / l_ref[:, idx:idx + 1]
+            ).astype(o_ref.dtype)
+
+
 _PACKED_VMEM_BUDGET = 13 * 1024 * 1024
 
 
@@ -818,7 +875,9 @@ def packed_attention_fits(seq: int, dtype=jnp.bfloat16) -> bool:
     Resident tier: 8*S*128*itemsize + logits.  4096 tokens bf16 = 8.4 MB +
     2 MB -> fits; 9216 (768-class lvl0) = 18.9 MB -> no.  The KV-resident
     tier (K/V per pair resident, q tiles streamed) covers 9216 at 11.8 MB;
-    SDXL's 16384 (16.9 MB) stays on the split flash path.
+    SDXL's 16384 (16.9 MB) returns False here and stays on the split flash
+    path by default — flash_attention_packed itself falls through to a pair
+    streaming-K tier at ANY length (model opt-in: GSWM_PACKED_ATTN_MAX_SEQ).
     """
     itemsize = jnp.dtype(dtype).itemsize
     s_res = -(-seq // 256) * 256
@@ -902,32 +961,62 @@ def flash_attention_packed(qkv, head_dim: int = 64,
           if block_k is None else block_k)
     qkvp, s0 = _pad_to(qkv, 1, max(bq, bk))
     s_pad = qkvp.shape[1]
-    if (force_tier is None and _packed_kvres_bytes(s_pad, itemsize, bq, bk)
-            > _PACKED_VMEM_BUDGET):
-        raise ValueError(
-            f"packed attention does not fit VMEM at seq={s} — gate with "
-            "packed_attention_fits() and fall back to flash_attention")
-    kernel = functools.partial(_flash_kernel_pair_kvres, block_k=bk,
+    use_kvres = (
+        _packed_kvres_bytes(s_pad, itemsize, bq, bk) <= _PACKED_VMEM_BUDGET
+        if force_tier is None else force_tier == "kvres")
+    if use_kvres:
+        kernel = functools.partial(_flash_kernel_pair_kvres, block_k=bk,
+                                   scale=scale, valid_k=s0, use_max=use_max,
+                                   head_dim=head_dim)
+
+        def spec_kv(group):
+            # constant along the q-tile dimension: fetched once per pair
+            return pl.BlockSpec(
+                (1, s_pad, 128),
+                lambda g, qi, group=group: (g // pairs, 0,
+                                            group * pairs + g % pairs),
+                memory_space=pltpu.VMEM)
+
+        qo_spec = pl.BlockSpec((1, bq, 128),
+                               lambda g, qi: (g // pairs, qi, g % pairs),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * pairs, s_pad // bq),
+            in_specs=[qo_spec, spec_kv(1), spec_kv(2)],
+            out_specs=qo_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s_pad, pairs * 128),
+                                           qkv.dtype),
+            interpret=interpret,
+        )(qkvp, qkvp, qkvp)
+        return out[:, :s0, :]
+
+    # Pair streaming-K tier: any sequence (SDXL's 16384).
+    kernel = functools.partial(_flash_kernel_pair_streamk, block_k=bk,
                                scale=scale, valid_k=s0, use_max=use_max,
                                head_dim=head_dim)
 
-    def spec_kv(group):
-        # constant along the q-tile dimension: fetched once per pair
+    def spec_sk(group):
         return pl.BlockSpec(
-            (1, s_pad, 128),
-            lambda g, qi, group=group: (g // pairs, 0,
-                                        group * pairs + g % pairs),
+            (1, bk, 128),
+            lambda g, qi, kb, group=group: (g // pairs, kb,
+                                            group * pairs + g % pairs),
             memory_space=pltpu.VMEM)
 
-    qo_spec = pl.BlockSpec((1, bq, 128),
-                           lambda g, qi: (g // pairs, qi, g % pairs),
-                           memory_space=pltpu.VMEM)
+    qo_spec3 = pl.BlockSpec((1, bq, 128),
+                            lambda g, qi, kb: (g // pairs, qi, g % pairs),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(b * pairs, s_pad // bq),
-        in_specs=[qo_spec, spec_kv(1), spec_kv(2)],
-        out_specs=qo_spec,
+        grid=(b * pairs, s_pad // bq, s_pad // bk),
+        in_specs=[qo_spec3, spec_sk(1), spec_sk(2)],
+        out_specs=qo_spec3,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, pairs * 128), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 2), jnp.float32),    # m per half
+            pltpu.VMEM((bq, 2), jnp.float32),    # l per half
+            pltpu.VMEM((bq, 128), jnp.float32),  # acc, both halves
+        ],
         interpret=interpret,
     )(qkvp, qkvp, qkvp)
     return out[:, :s0, :]

@@ -58,6 +58,38 @@ def test_matches_reference(b, s, h):
         np.testing.assert_array_equal(np.asarray(got[:, :, h * d:]), 0.0)
 
 
+@pytest.mark.parametrize("b,s,h", [
+    (2, 768, 2),    # even heads
+    (1, 768, 5),    # odd heads: zero-padded pair half
+    (1, 400, 3),    # ragged sequence: padded keys masked, rows sliced
+])
+def test_streamk_tier_matches_reference(b, s, h, monkeypatch):
+    """The pair streaming-K tier (sequential k-tile grid dim, persistent
+    m/l/acc scratch split per 64-lane half) matches reference numerics;
+    it is the any-length fallthrough used at SDXL's 16384 tokens."""
+    monkeypatch.setenv("GSWM_PACKED_TIER", "streamk")
+    flash_attention_packed._clear_cache()
+    d = 64
+    kq, kk, kv = jax.random.split(jax.random.key(6), 3)
+    q = jax.random.normal(kq, (b, s, h, d))
+    k = jax.random.normal(kk, (b, s, h, d))
+    v = jax.random.normal(kv, (b, s, h, d))
+    pairs = -(-h // 2)
+    got = flash_attention_packed(_pack_qkv(q, k, v, pairs), d, interpret=True)
+    want = reference_attention(q, k, v).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(got[:, :, : h * d]),
+                               np.asarray(want), atol=2e-5)
+    if pairs * 128 != h * d:
+        np.testing.assert_array_equal(np.asarray(got[:, :, h * d:]), 0.0)
+    # bf16 nomax path through the same tier
+    got_bf = flash_attention_packed(
+        _pack_qkv(q, k, v, pairs).astype(jnp.bfloat16), d, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_bf[:, :, : h * d], np.float32), np.asarray(want),
+        atol=0.08)
+    flash_attention_packed._clear_cache()
+
+
 def test_bf16_nomax_close_to_fp32():
     b, s, h, d = 1, 256, 2, 64
     kq, kk, kv = jax.random.split(jax.random.key(1), 3)

@@ -79,7 +79,29 @@ def main():
     del os.environ["GSWM_PACKED_TIER"]
     A.flash_attention_packed._clear_cache()
     check(1, 9216, 5, jnp.bfloat16, 0.08)  # 768x768 lvl0, kvres by policy
-    print("packed kernel VALIDATED on real TPU (both tiers)", flush=True)
+    print("kvres tier VALIDATED", flush=True)
+    # streaming-K tier: forced small (vs reference), then SDXL's 16384 where
+    # the policy picks it naturally — compared against the split flash
+    # kernel (a 16k fp32 reference logits tensor would not fit HBM)
+    os.environ["GSWM_PACKED_TIER"] = "streamk"
+    A.flash_attention_packed._clear_cache()
+    check(2, 768, 2, jnp.float32, 2e-5)
+    del os.environ["GSWM_PACKED_TIER"]
+    A.flash_attention_packed._clear_cache()
+    b, s, h, d = 1, 16384, 2, 64
+    kq, kk, kv = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(kq, (b, s, h, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, h, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, h, d)).astype(jnp.bfloat16)
+    got = np.asarray(A.flash_attention_packed(
+        pack(q, k, v, 1), d, interpret=False)).astype(np.float32)
+    want = np.asarray(A.flash_attention(q, k, v)).reshape(b, s, h * d)
+    err = float(np.max(np.abs(got - want.astype(np.float32))))
+    print(f"  16384-token streamk vs split kernel: max err {err:.2e}",
+          flush=True)
+    assert err < 0.08, err
+    print("packed kernel VALIDATED on real TPU (all three tiers)",
+          flush=True)
 
 
 if __name__ == "__main__":
