@@ -20,9 +20,23 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
 sys.path.insert(0, ".")
 
 from gswm.ops.attention import (  # noqa: E402
+    flash_attention,
     flash_attention_packed,
-    reference_attention,
 )
+
+
+def reference_attention_exact(q, k, v):
+    """fp32 reference with precision=HIGHEST so the MXU does full-precision
+    passes — the DEFAULT-precision einsum bf16-rounds its multiplies on TPU
+    and carries the same ~1e-3 noise as the kernel under test (the round-3
+    first-run failure: 1.4e-3 "error" at a 2e-5 interpret-mode tolerance)."""
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST) * (d**-0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def pack(q, k, v, pairs):
@@ -36,8 +50,20 @@ def pack(q, k, v, pairs):
     return jnp.concatenate([f(q), f(k), f(v)], axis=-1)
 
 
-def check(b, s, h, dtype, atol):
+def check(b, s, h, dtype, atol, atol_split=None):
+    """Two comparisons, different jobs:
+
+    - vs the SPLIT flash kernel (same DEFAULT-precision MXU regime, same
+      online-softmax math): the bug discriminator.  Tight tolerance — any
+      indexing/slicing/masking error in the packed layout shows up here.
+    - vs a precision=HIGHEST fp32 reference: hardware-realistic tolerance
+      (fp32 DEFAULT-precision matmuls bf16-round their inputs on the MXU,
+      ~1e-3 noise on O(1) values; this is how the whole model runs, so the
+      kernel matching that regime is correct, not a defect).
+    """
     d = 64
+    if atol_split is None:
+        atol_split = 5e-4 if dtype == jnp.float32 else 0.05
     kq, kk, kv = jax.random.split(jax.random.key(0), 3)
     q = jax.random.normal(kq, (b, s, h, d)).astype(dtype)
     k = jax.random.normal(kk, (b, s, h, d)).astype(dtype)
@@ -48,21 +74,24 @@ def check(b, s, h, dtype, atol):
     got = flash_attention_packed(qkv, d, interpret=False)
     got = np.asarray(got).astype(np.float32)
     dt = time.perf_counter() - t0
-    want = np.asarray(reference_attention(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
-    )).reshape(b, s, h * d)
+    split = np.asarray(flash_attention(q, k, v)).astype(np.float32)
+    split = split.reshape(b, s, h * d)
+    want = np.asarray(reference_attention_exact(q, k, v)).reshape(b, s, h * d)
     err = float(np.max(np.abs(got[:, :, : h * d] - want)))
+    err_split = float(np.max(np.abs(got[:, :, : h * d] - split)))
     pad_ok = (pairs * 128 == h * d
               or float(np.max(np.abs(got[:, :, h * d:]))) == 0.0)
-    print(f"  b={b} s={s} h={h} {jnp.dtype(dtype).name}: max err {err:.2e} "
-          f"pad_zero={pad_ok} ({dt:.1f}s incl compile)", flush=True)
-    assert err < atol and pad_ok, (err, atol, pad_ok)
+    print(f"  b={b} s={s} h={h} {jnp.dtype(dtype).name}: vs ref {err:.2e} "
+          f"vs split kernel {err_split:.2e} pad_zero={pad_ok} "
+          f"({dt:.1f}s incl compile)", flush=True)
+    assert err < atol and err_split < atol_split and pad_ok, (
+        err, atol, err_split, atol_split, pad_ok)
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
     # tiny first (fast compile; fails fast if Mosaic rejects the kernel)
-    check(2, 256, 2, jnp.float32, 2e-5)
+    check(2, 512, 2, jnp.float32, 5e-3)
     check(1, 256, 3, jnp.bfloat16, 0.08)   # odd heads + nomax path
     # the SD lvl0 shape (4096 tokens, 5 heads) at small batch
     check(4, 4096, 5, jnp.bfloat16, 0.08)
@@ -75,7 +104,7 @@ def main():
     from gswm.ops import attention as A
 
     A.flash_attention_packed._clear_cache()
-    check(2, 640, 2, jnp.float32, 2e-5)
+    check(2, 640, 2, jnp.float32, 5e-3)
     del os.environ["GSWM_PACKED_TIER"]
     A.flash_attention_packed._clear_cache()
     check(1, 9216, 5, jnp.bfloat16, 0.08)  # 768x768 lvl0, kvres by policy
@@ -85,7 +114,7 @@ def main():
     # kernel (a 16k fp32 reference logits tensor would not fit HBM)
     os.environ["GSWM_PACKED_TIER"] = "streamk"
     A.flash_attention_packed._clear_cache()
-    check(2, 768, 2, jnp.float32, 2e-5)
+    check(2, 768, 2, jnp.float32, 5e-3)
     del os.environ["GSWM_PACKED_TIER"]
     A.flash_attention_packed._clear_cache()
     b, s, h, d = 1, 16384, 2, 64
