@@ -668,7 +668,7 @@ def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
             kernel,
             grid=(b, s_pad // bq),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM; manual DMA
+                pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; manual DMA
                 pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((c_pad, inner), lambda bi, i: (0, 0),
@@ -711,7 +711,7 @@ def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM; manual DMA
             pl.BlockSpec((c_pad, inner), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_pad, inner), lambda bi: (0, 0),
