@@ -310,7 +310,24 @@ class Attention(nn.Module):
             return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 
         if context is None:
-            q, k, v = fused_projection(x, (wq, wk, wv), self.dtype)
+            # In-context A/B (tools/exp_attn_context.py, v5e, b160 lvl0):
+            # three SEPARATE projection matmuls beat the fused qkv matmul +
+            # split by ~2.2 ms/site at 4096 tokens — the split's 320-offset
+            # feature slices materialize copies that separate matmuls avoid
+            # (each output is born in the layout the kernel wants).  Below
+            # the flash threshold the einsum path consumes q/k/v unsliced,
+            # so the fused matmul stays.  GSWM_SELF_PROJ=separate opts in
+            # (default flips once the e2e A/B confirms the in-context win).
+            separate = (os.environ.get("GSWM_SELF_PROJ", "fused")
+                        == "separate"
+                        and x.shape[1] >= self._flash_min_seq()
+                        and on_device)
+            if separate:
+                (q,) = fused_projection(x, (wq,), self.dtype)
+                (k,) = fused_projection(x, (wk,), self.dtype)
+                (v,) = fused_projection(x, (wv,), self.dtype)
+            else:
+                q, k, v = fused_projection(x, (wq, wk, wv), self.dtype)
         else:
             (q,) = fused_projection(x, (wq,), self.dtype)
             k, v = fused_projection(ctx, (wk, wv), self.dtype)
