@@ -50,16 +50,41 @@ class GroupNorm32(nn.GroupNorm):
 
     Subclasses nn.GroupNorm (rather than wrapping it) so scale/bias live at
     this module's own path — flat names, matching diffusers checkpoints
-    (``norm1.weight`` -> ``norm1.scale``, no intermediate scope)."""
+    (``norm1.weight`` -> ``norm1.scale``, no intermediate scope).
+
+    NHWC inputs take a transposed-stats path: copy to NCHW, reduce each
+    group over its now-contiguous (C/G, H, W) block, normalize there, copy
+    back.  C/G = 10 or 20 channels/group does not align to the 128-lane
+    tile, so reducing in NHWC makes XLA emit cross-lane segment reductions
+    that run ~50x under HBM inside the UNet scan (tools/profile_ops.py);
+    the two NCHW copies fuse at HBM speed instead (measured 2276 GB/s eff
+    vs 346 GB/s, tools/exp_gn_formulations.py on-chip: +0.37 ms vs
+    +2.42 ms per site at 160x64x64x320).  Same math as nn.GroupNorm's
+    fast-variance path (mean / mean-of-squares in fp32), different
+    reduction order only."""
 
     epsilon: float = 1e-5
 
-    def __call__(self, x):  # parent __call__ is the compact method
+    @nn.compact
+    def __call__(self, x):
         if "norm" in _ABLATE:
             return x
         dtype = x.dtype
-        out = super().__call__(x.astype(jnp.float32))
-        return out.astype(dtype)
+        c = x.shape[-1]
+        assert c % self.num_groups == 0, (c, self.num_groups)
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+        xt = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # (B, C, *spatial)
+        shape_t = xt.shape
+        xg = xt.reshape(x.shape[0], self.num_groups, -1)
+        mu = jnp.mean(xg, axis=2, keepdims=True)
+        var = jnp.mean(xg * xg, axis=2, keepdims=True) - mu * mu
+        y = (xg - mu) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(shape_t)
+        cdims = (slice(None),) + (None,) * (x.ndim - 2)
+        y = y * scale.astype(jnp.float32)[cdims] \
+            + bias.astype(jnp.float32)[cdims]
+        return jnp.moveaxis(y, 1, -1).astype(dtype)
 
 
 def timestep_embedding(
