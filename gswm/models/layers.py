@@ -284,6 +284,35 @@ class Attention(nn.Module):
 
         return packed_attention_fits(s, self.dtype)
 
+    def _use_transposed(self, x) -> bool:
+        """Route self-attention to the transposed-operand streaming kernel
+        (gswm.ops.attention.flash_attention_transposed)?  Covers the shapes
+        ABOVE the fused-qkv window (lvl0's 4096/9216 tokens) where the split
+        path pays relayout copies: the ('nc,bsc->nbs') projection output
+        feeds the kernel with no split/transpose, and to_out consumes the
+        transposed output in place.  GSWM_TRANSPOSED_ATTN=1 enables; stays
+        opt-in until the in-context A/B confirms the e2e win."""
+        if os.environ.get("GSWM_TRANSPOSED_ATTN", "0") != "1":
+            return False
+        if self.head_dim % 8:
+            return False
+        s = x.shape[1]
+        lo = int(os.environ.get("GSWM_TRANSPOSED_ATTN_MIN_SEQ", "2305"))
+        if s < lo:
+            return False  # fused-qkv window; below that, einsum
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            names = getattr(mesh, "axis_names", ()) or ()
+            for ax in ("tp", "sp"):
+                if ax in names and mesh.shape[ax] > 1:
+                    return False  # head/seq sharding needs the split path
+        except Exception:
+            pass
+        from gswm.ops.attention import transposed_attention_fits
+
+        return transposed_attention_fits(s, x.shape[0], self.head_dim,
+                                         self.dtype)
+
     @nn.compact
     def __call__(self, x, context=None):
         ctx = x if context is None else context
@@ -323,6 +352,24 @@ class Attention(nn.Module):
             if cpk != inner:
                 wo = jnp.pad(wo, ((0, cpk - inner), (0, 0)))
             return jnp.dot(out, wo) + bo.astype(self.dtype)
+        if (context is None and on_device
+                and wq[1] is None and wk[1] is None and wv[1] is None
+                and self._use_transposed(x)):
+            from gswm.ops.attention import flash_attention_transposed
+
+            # One ('nc,bsc->nbs') qkv matmul: (3*inner, B, S) is this dot's
+            # NATIVE output layout, and the kernel reads q/k/v as row bands
+            # of it — no split, no (B,S,H,D) relayout anywhere.  The weight
+            # transpose is loop-invariant (hoisted out of the scan).
+            wqkvT = jnp.concatenate(
+                [wq[0], wk[0], wv[0]], axis=1).T.astype(self.dtype)
+            qkvT = jax.lax.dot_general(
+                wqkvT, x.astype(self.dtype), (((1,), (2,)), ((), ())))
+            oT = flash_attention_transposed(qkvT, self.heads, self.head_dim)
+            wo, bo = ProjWeights(inner, use_bias=True, name="to_out")(inner)
+            out = jax.lax.dot_general(
+                oT, wo.astype(self.dtype), (((0,), (0,)), ((), ())))
+            return out + bo.astype(self.dtype)
         if (context is None and on_device
                 and wq[1] is None and wk[1] is None and wv[1] is None
                 and self._use_fused_qkv(x)):

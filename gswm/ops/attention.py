@@ -1022,6 +1022,204 @@ def flash_attention_packed(qkv, head_dim: int = 64,
     return out[:, :s0, :]
 
 
+def _flash_kernel_T(qkvT_hbm, o_hbm, q_vmem, o_vmem, k_bufs, v_bufs,
+                    q_sem, o_sem, k_sems, v_sems, *, heads: int,
+                    head_dim: int, block_q: int, block_k: int, scale: float,
+                    valid_k: int, inner: int):
+    """Transposed-operand streaming flash step over a (3*H*D, B, S) stacked
+    projection output — the layout a ``('nc,bsc->nbs')`` qkv matmul produces
+    NATIVELY, so XLA has no {1,2,0}->{2,1,0} relayout or qkv-split copy to
+    materialize around the call (the measured ~3.4 ms/site of lvl0 context
+    overhead, docs/BENCH.md round 3).  All math stays transposed with ZERO
+    transpose ops:
+
+      scores (bq, bk) = dot(q_tile (d,bq), k_tile (d,bk)) contracting dim 0
+                        (the d-sublane dim — same MXU structural cap);
+      l      (1, bq) += dot(ones (1,bk), P (bq,bk)) contracting dim 1 — an
+                        MXU matvec that lands the row sums already in the
+                        broadcast orientation the (d, bq) accumulator needs;
+      acc    (d, bq) += dot(v_tile (d,bk), P (bq,bk)) contracting dim 1.
+
+    Grid (heads, B/8): Mosaic requires >= 8 sublanes per block/DMA tile, so
+    each step owns EIGHT batch elements — q/o move as (d, 8, bq) tiles and
+    K/V stream as double-buffered (d, 8, bk) chunks shared by the eight
+    online-softmax accumulators (refetched per q tile; ~5 ns/token of HBM
+    vs ~13 ns/token of MXU work, fully hidden by the double buffer).
+
+    No-max softmax only (the bf16 model path; fp32 callers get the same
+    clamped-exp math — exact within fp32 rounding for |logits| < 60, which
+    trained SD satisfies by a 2x margin)."""
+    h = pl.program_id(0)
+    b8 = pl.program_id(1)
+    d = head_dim
+    s_pad = qkvT_hbm.shape[2]
+    nq = s_pad // block_q
+    nk = s_pad // block_k
+    b0 = b8 * 8
+    dtype = o_hbm.dtype
+    ones = jnp.ones((1, block_k), jnp.float32)
+
+    def kv_copies(kb, slot):
+        ks = pl.ds(kb * block_k, block_k)
+        return (
+            pltpu.make_async_copy(
+                qkvT_hbm.at[pl.ds(inner + h * d, d), pl.ds(b0, 8), ks],
+                k_bufs.at[slot], k_sems.at[slot]),
+            pltpu.make_async_copy(
+                qkvT_hbm.at[pl.ds(2 * inner + h * d, d), pl.ds(b0, 8), ks],
+                v_bufs.at[slot], v_sems.at[slot]),
+        )
+
+    def q_tile(qi, _):
+        qs = pl.ds(qi * block_q, block_q)
+        q_cp = pltpu.make_async_copy(
+            qkvT_hbm.at[pl.ds(h * d, d), pl.ds(b0, 8), qs], q_vmem, q_sem)
+        q_cp.start()
+        for cp in kv_copies(0, 0):
+            cp.start()
+        q_cp.wait()
+        qts = []
+        for bi in range(8):
+            qt = q_vmem[:, bi, :]
+            qts.append((qt.astype(jnp.float32) * scale).astype(qt.dtype))
+
+        def kb_body(kb, carry):
+            ls, accs = carry
+            slot = jax.lax.rem(kb, 2)
+
+            @pl.when(kb + 1 < nk)
+            def _():
+                for cp in kv_copies(kb + 1, 1 - slot):
+                    cp.start()
+
+            for cp in kv_copies(kb, slot):
+                cp.wait()
+            col = None
+            if valid_k != s_pad:
+                col = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+            ls_new, accs_new = [], []
+            for bi in range(8):
+                kt = k_bufs[slot, :, bi, :]
+                vt = v_bufs[slot, :, bi, :]
+                s = jax.lax.dot_general(
+                    qts[bi], kt, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (bq, bk)
+                if col is not None:
+                    s = jnp.where(col < valid_k, s, -1e30)
+                p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
+                ls_new.append(ls[bi] + jax.lax.dot_general(
+                    ones, p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # (1, bq)
+                accs_new.append(accs[bi] + jax.lax.dot_general(
+                    vt, p.astype(vt.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # (d, bq)
+            return tuple(ls_new), tuple(accs_new)
+
+        l0 = tuple(jnp.zeros((1, block_q), jnp.float32) for _ in range(8))
+        acc0 = tuple(jnp.zeros((d, block_q), jnp.float32) for _ in range(8))
+        ls, accs = jax.lax.fori_loop(0, nk, kb_body, (l0, acc0))
+        for bi in range(8):
+            o_vmem[:, bi, :] = (accs[bi] / ls[bi]).astype(dtype)
+        o_cp = pltpu.make_async_copy(
+            o_vmem, o_hbm.at[pl.ds(h * d, d), pl.ds(b0, 8), qs], o_sem)
+        o_cp.start()
+        o_cp.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nq, q_tile, 0)
+
+
+# Transposed tier VMEM: q/o (d,8,bq) tiles + 2x double-buffered (d,8,bk)
+# K/V chunks + fp32 logits/exp temporaries + eight (d+1, bq) accumulators;
+# budget leaves the usual ~3 MB Mosaic slack under the 16 MB scoped ceiling.
+_TRANSPOSED_VMEM_BUDGET = int(12.5 * 1024 * 1024)
+
+
+def _transposed_need(head_dim: int, bq: int, bk: int, itemsize: int) -> int:
+    return (2 * head_dim * 8 * bq * itemsize        # q + o tiles
+            + 4 * head_dim * 8 * bk * itemsize      # k/v double-buffered
+            + 2 * bq * bk * 4                       # logits + exp temp
+            + 8 * (head_dim + 1) * bq * 4)          # 8 accumulators + sums
+
+
+def transposed_attention_fits(seq: int, batch: int = 8, head_dim: int = 64,
+                              dtype=jnp.bfloat16,
+                              block_q: int = DEFAULT_BLOCK_Q,
+                              block_k: int = 1024) -> bool:
+    """True when the transposed streaming tier applies: the kernel itself
+    streams (any length), so the gates are the 8-sublane batch granularity
+    and the VMEM budget at the chosen blocks."""
+    if batch % 8:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    return _transposed_need(head_dim, min(block_q, seq), min(block_k, seq),
+                            itemsize) <= _TRANSPOSED_VMEM_BUDGET
+
+
+def flash_attention_transposed(qkvT, heads: int, head_dim: int = 64,
+                               block_q: int | None = None,
+                               block_k: int | None = None,
+                               interpret: bool | None = None):
+    """Self-attention over a TRANSPOSED stacked projection output.
+
+    ``qkvT``: (3*heads*head_dim, B, S) — q, then k, then v along dim 0, the
+    native output of ``jnp.einsum('nc,bsc->nbs', w_qkv_T, x)``.  Returns the
+    attention output oT as (heads*head_dim, B, S), which ``to_out`` consumes
+    directly via ``jax.lax.dot_general(oT, w_out, (((0,), (0,)), ((), ())))``
+    -> (B, S, C).  The pallas call reads q/k/v as manual-DMA slices of the
+    SAME HBM array (no split) and both its operand and output layouts match
+    what the surrounding matmuls produce/consume — the relayout copies
+    around the (B,S,H,D) kernel path (both the packed and fused-qkv attacks
+    on which measured as losses, docs/BENCH.md round 3) never exist in this
+    formulation.  B is padded to the 8-sublane DMA granularity if needed
+    (real callers route here only when B % 8 == 0).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n3, b, s = qkvT.shape
+    inner = heads * head_dim
+    assert n3 == 3 * inner, (n3, heads, head_dim)
+    bq = DEFAULT_BLOCK_Q if block_q is None else block_q
+    bk = 1024 if block_k is None else block_k
+    itemsize = jnp.dtype(qkvT.dtype).itemsize
+    while _transposed_need(head_dim, bq, bk, itemsize) \
+            > _TRANSPOSED_VMEM_BUDGET and bk > 256:
+        bk //= 2
+    qkvT, b0 = _pad_to(qkvT, 1, 8)
+    b_pad = qkvT.shape[1]
+    blk = max(bq, bk)
+    qkvT, s0 = _pad_to(qkvT, 2, blk)
+    s_pad = qkvT.shape[2]
+    bq = min(bq, s_pad)
+    bk = min(bk, s_pad)
+    scale = head_dim**-0.5
+
+    kernel = functools.partial(
+        _flash_kernel_T, heads=heads, head_dim=head_dim, block_q=bq,
+        block_k=bk, scale=scale, valid_k=s0, inner=inner)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(heads, b_pad // 8),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # manual DMA
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((inner, b_pad, s_pad), qkvT.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((head_dim, 8, bq), qkvT.dtype),      # q tile
+            pltpu.VMEM((head_dim, 8, bq), qkvT.dtype),      # o tile
+            pltpu.VMEM((2, head_dim, 8, bk), qkvT.dtype),   # k chunks
+            pltpu.VMEM((2, head_dim, 8, bk), qkvT.dtype),   # v chunks
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(qkvT)
+    return out[:, :b0, :s0]
+
+
 def flash_attention_sharded(q, k, v, **kw):
     """flash_attention partitioned over a 'tp' mesh axis — by heads.
 

@@ -36,6 +36,7 @@ from gswm.ops.attention import (  # noqa: E402
     flash_attention,
     flash_attention_fused_qkv,
     flash_attention_packed,
+    flash_attention_transposed,
 )
 
 SHAPES = {
@@ -83,6 +84,13 @@ def make_fn(variant, b, s, c, h, d):
             wo = wout if cpk == inner else jnp.pad(
                 wout, ((0, cpk - inner), (0, 0)))
             return o, wo
+        if variant == "transposed":
+            # projection emits (3N, B, S) natively; the kernel reads three
+            # index-mapped views of it (no split, no relayout), and to_out
+            # consumes the (N, B, S) output in place
+            qkvT = jnp.einsum("nc,bsc->nbs", wqkv.T, x)
+            oT = flash_attention_transposed(qkvT, h, d)
+            return jnp.einsum("nbs,nc->bsc", oT, wout), None
         if variant == "current":
             qkv = jnp.dot(x, wqkv)
             q, k, v = jnp.split(qkv, [inner, 2 * inner], axis=-1)
@@ -99,7 +107,8 @@ def make_fn(variant, b, s, c, h, d):
     def run(x0, wqkv, wout):
         def step(x, _):
             o, w = attn(x)
-            o = jnp.dot(o, w)
+            if w is not None:
+                o = jnp.dot(o, w)
             return (x + 0.1 * o).astype(x.dtype), ()
 
         y, _ = jax.lax.scan(step, x0, None, length=4)
@@ -129,7 +138,8 @@ def main():
         b, s, c, h, d = SHAPES[name]
         print(f"{name}: (b={b}, s={s}, c={c}, h={h}, d={d})", flush=True)
         base = None
-        for variant in ["floor", "current", "separate", "fusedk", "packed"]:
+        for variant in ["floor", "current", "separate", "fusedk", "packed",
+                        "transposed"]:
             try:
                 fn = make_fn(variant, b, s, c, h, d)
                 t = delta_time(fn) / 4
