@@ -103,6 +103,15 @@ def main():
     # refused afterwards) — opt in with GSWM_BENCH_FUSE_DISPATCH=1 on a
     # runtime with a local compiler.
     fuse = os.environ.get("GSWM_BENCH_FUSE_DISPATCH", "0") == "1"
+    # Middle-grain fusion (GSWM_BENCH_FUSE_MID=1): embed + inversion scan +
+    # decode in ONE jit, VAE encode kept as its own jit — the full-chain
+    # fuse above adds the chunked lax.map VAE to the module and that
+    # combination is what blew the tunneled compiler up (~55-min remote
+    # compile, then connection refused).  This grain adds only O(elements)
+    # pointwise work around the already-compiling _run scan, and removes the
+    # embed/decode dispatches plus the eager empty-context broadcast from
+    # the per-pass host gap (docs/BENCH.md round-3 budget: ~1.9 s/pass).
+    fuse_mid = os.environ.get("GSWM_BENCH_FUSE_MID", "0") == "1"
 
     def _chain(rng, images):
         zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
@@ -110,7 +119,26 @@ def main():
         bits = recover_message_bits(z_back, cfg)
         return bits, zT[:, 0, 0, 0]
 
-    chain = jax.jit(_chain) if fuse else _chain
+    if fuse:
+        chain = jax.jit(_chain)
+    elif fuse_mid:
+        ctx = pipe.empty_context(batch)
+
+        @jax.jit
+        def _mid(rng, latents):
+            zT, _msg = embed_latents(cfg, rng=rng, batch=batch)
+            z_back = pipe._run(
+                pipe.unet_params, latents, ctx, ctx, jnp.float32(1.0),
+                num_steps=steps, scheduler=sched, guidance_mode=False,
+                invert=True,
+            )
+            bits = recover_message_bits(z_back, cfg)
+            return bits, zT[:, 0, 0, 0]
+
+        def chain(rng, images):
+            return _mid(rng, pipe.image_to_latents(images))
+    else:
+        chain = _chain
 
     def one_pass(rng):
         bits, z0 = chain(rng, images)

@@ -74,6 +74,20 @@ class GroupNorm32(nn.GroupNorm):
         assert c % self.num_groups == 0, (c, self.num_groups)
         scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
         bias = self.param("bias", self.bias_init, (c,), self.param_dtype)
+        # GSWM_GN_STATS=nhwc restores the direct NHWC reduction (the
+        # pre-round-3 formulation) purely for end-to-end A/B runs — the
+        # explicit validation row VERDICT r3 asked for.
+        if os.environ.get("GSWM_GN_STATS") == "nhwc":
+            xf = x.astype(jnp.float32)
+            red = tuple(range(1, x.ndim - 1))
+            xg = xf.reshape(x.shape[:-1] + (self.num_groups, -1))
+            mu = jnp.mean(xg, axis=red + (x.ndim,), keepdims=True)
+            var = jnp.mean(xg * xg, axis=red + (x.ndim,), keepdims=True) \
+                - mu * mu
+            y = (xg - mu) * jax.lax.rsqrt(var + self.epsilon)
+            y = y.reshape(xf.shape)
+            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            return y.astype(dtype)
         xt = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # (B, C, *spatial)
         shape_t = xt.shape
         xg = xt.reshape(x.shape[0], self.num_groups, -1)
