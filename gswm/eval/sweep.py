@@ -43,6 +43,26 @@ class SweepResult:
     tpr_at_1e6: float
 
 
+def _add_texture(images, amp: float, key):
+    """Blend a seeded high-frequency texture field into images in [0,1].
+
+    The field is pixel-level uniform noise minus its own 3x3 box blur —
+    zero-mean, concentrated above the blur's cutoff, i.e. exactly the band
+    JPEG quantization and blurring attacks remove first.  Deterministic per
+    key so the 'none' control and every attack row see the same inputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    u = jax.random.uniform(key, images.shape, jnp.float32) - 0.5
+    k = jnp.ones((3, 3), jnp.float32) / 9.0
+    blur = jax.lax.conv_general_dilated(
+        u.reshape(-1, 1, *images.shape[-2:]), k[None, None],
+        (1, 1), "SAME").reshape(images.shape)
+    hf = u - blur
+    return jnp.clip(images + amp * hf, 0.0, 1.0)
+
+
 def _host_jpeg(images, quality: int):
     """Exact libjpeg round-trip via PIL (`distortions`:175-184 semantics) —
     the report-grade compression path; the on-device DCT JPEG is the fast
@@ -76,10 +96,25 @@ def run_sweep(
     out_jsonl: Optional[str] = None,
     guidance_scale: float = 1.0,
     jpeg: str = "device",
+    texture_amp: float = 0.0,
+    extract_steps_rows: Iterable[int] = (),
 ) -> list[SweepResult]:
     """``jpeg`` selects the compression implementation: 'device' = batched
     DCT round-trip on-TPU (fast, approximate), 'host' = exact libjpeg via
-    PIL (what the reference's bench uses)."""
+    PIL (what the reference's bench uses).
+
+    ``texture_amp`` > 0 blends a seeded high-frequency texture field into
+    the generated images before any attack (input hardening: random-UNet
+    outputs are low-texture, so value attacks like JPEG bite less than on
+    real SD images — VERDICT r3 weak #3).  The 'none' control then shows
+    whether the texture alone costs accuracy, and attack rows degrade the
+    way textured real images would.
+
+    ``extract_steps_rows`` adds extra lossless control rows extracted at
+    other step counts — e.g. (50,) records the reference's recommended
+    50-step extraction setting (README.md:265-266) alongside the sweep's
+    default.  Reported as attack='none@{n}step'.
+    """
     import jax
 
     from gswm.distortions import device as dev
@@ -87,14 +122,27 @@ def run_sweep(
     if jpeg not in ("device", "host"):
         raise ValueError(f"jpeg must be 'device' or 'host', got {jpeg!r}")
     rng = rng if rng is not None else jax.random.key(0)
-    k_embed, k_attack = jax.random.split(rng)
+    k_embed, k_attack, k_tex = jax.random.split(rng, 3)
 
     zT, msg = embed_latents(cfg, rng=k_embed, batch=batch)
     expected = bitops.bytes_to_bits(msg)
     images = pipe.generate(zT, guidance_scale=guidance_scale,
                            num_steps=num_steps, scheduler=scheduler)
+    if texture_amp > 0.0:
+        images = _add_texture(images, texture_amp, k_tex)
 
     results = []
+    for n in extract_steps_rows:
+        z_back = pipe.invert(images=images, num_steps=int(n),
+                             scheduler=scheduler)
+        voted = np.asarray(recover_message_bits(z_back, cfg))
+        accs = [float(np.mean(v == expected)) for v in voted]
+        results.append(SweepResult(
+            attack=f"none@{int(n)}step", relative_strength=0.0,
+            absolute_strength=0.0,
+            bit_accuracy_mean=float(np.mean(accs)), bit_accuracies=accs,
+            tpr_at_1e6=tpr_at_fpr(accs, cfg.resolved_message_bits),
+        ))
     for attack in attacks:
         for rel in ((0.0,) if attack == "none" else strengths):
             absolute = (0.0 if attack == "none"

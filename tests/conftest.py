@@ -22,7 +22,14 @@ if not os.environ.get("GSWM_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the UNet/scan graphs dominate test wall-clock;
-# caching makes reruns near-instant.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
+# caching makes reruns near-instant.  Machine-tagged for the CPU backend —
+# cross-host CPU-AOT entries load with SIGILL-warning spam (ADVICE r3 #4).
+from gswm.utils.platform import cpu_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    cpu_cache_dir() if not os.environ.get("GSWM_TEST_TPU")
+    else "/tmp/gswm-jax-cache",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
