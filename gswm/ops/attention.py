@@ -1131,15 +1131,20 @@ def _flash_kernel_T(qkvT_hbm, o_hbm, q_vmem, o_vmem, k_bufs, v_bufs,
 
 
 # Transposed tier VMEM: q/o (d,8,bq) tiles + 2x double-buffered (d,8,bk)
-# K/V chunks + fp32 logits/exp temporaries + eight (d+1, bq) accumulators;
+# K/V chunks + per-step (bq,bk) temporaries + eight (d+1, bq) accumulators;
 # budget leaves the usual ~3 MB Mosaic slack under the 16 MB scoped ceiling.
 _TRANSPOSED_VMEM_BUDGET = int(12.5 * 1024 * 1024)
 
 
 def _transposed_need(head_dim: int, bq: int, bk: int, itemsize: int) -> int:
+    # The (bq, bk) term counts the per-kb-step live set Mosaic keeps on the
+    # scoped-vmem stack: fp32 logits s, fp32 exp p, p cast to the V dtype,
+    # and the int32 col iota of the K-mask path — undercounting these is
+    # exactly how the first chip run of this tier OOMed at 17.26M vs the
+    # 16M scoped ceiling (bq=512, bk=1024; runbook r4a).
     return (2 * head_dim * 8 * bq * itemsize        # q + o tiles
             + 4 * head_dim * 8 * bk * itemsize      # k/v double-buffered
-            + 2 * bq * bk * 4                       # logits + exp temp
+            + 4 * bq * bk * 4                       # s, p, p.astype, col
             + 8 * (head_dim + 1) * bq * 4)          # 8 accumulators + sums
 
 
@@ -1149,12 +1154,18 @@ def transposed_attention_fits(seq: int, batch: int = 8, head_dim: int = 64,
                               block_k: int = 1024) -> bool:
     """True when the transposed streaming tier applies: the kernel itself
     streams (any length), so the gates are the 8-sublane batch granularity
-    and the VMEM budget at the chosen blocks."""
+    and the VMEM budget at the blocks the runtime would choose (it halves
+    block_k down to 256 until the estimate fits, mirroring
+    flash_attention_transposed)."""
     if batch % 8:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    return _transposed_need(head_dim, min(block_q, seq), min(block_k, seq),
-                            itemsize) <= _TRANSPOSED_VMEM_BUDGET
+    bq, bk = min(block_q, seq), min(block_k, seq)
+    while _transposed_need(head_dim, bq, bk, itemsize) \
+            > _TRANSPOSED_VMEM_BUDGET and bk > 256:
+        bk //= 2
+    return _transposed_need(head_dim, bq, bk, itemsize) \
+        <= _TRANSPOSED_VMEM_BUDGET
 
 
 def flash_attention_transposed(qkvT, heads: int, head_dim: int = 64,

@@ -13,6 +13,8 @@ import pytest
 from gswm.models import TINY, AutoencoderKL, UNet2DCondition
 from tests.test_loader import _flax_tree_to_torch_sd
 
+pytestmark = pytest.mark.slow  # on-disk checkpoint synth + load; quick loop: -m 'not slow'
+
 
 def _save_safetensors(sd: dict, path):
     from safetensors.numpy import save_file

@@ -14,6 +14,8 @@ from gswm.eval.report import BatchReport
 from gswm.integrations.a1111 import gs_noise_batch
 from gswm.integrations.comfyui import GSLatent
 
+pytestmark = pytest.mark.slow  # subprocess CLI roundtrips; quick loop: -m 'not slow'
+
 
 def test_registry_txt_format_parity(tmp_path):
     reg = KeyRegistry(str(tmp_path))

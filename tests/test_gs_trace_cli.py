@@ -14,6 +14,9 @@ from gswm.config import GSConfig
 from gswm.core.multikey import embed_latents_multikey
 from gswm.eval.registry import KeyRegistry
 from gswm.pipelines import InversablePipeline
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess CLI + registry scale; quick loop: -m 'not slow'
 
 
 def test_gs_trace_cli(tmp_path):

@@ -13,6 +13,8 @@ from gswm.eval.sweep import run_sweep
 from gswm.pipelines import InversablePipeline
 from gswm.treering.compat import image_distortion, latents_to_imgs, transform_img
 
+pytestmark = pytest.mark.slow  # pipeline sweep smoke; quick loop: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def pipe():

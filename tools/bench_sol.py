@@ -8,14 +8,28 @@ roofline (docs/BENCH.md round 2):
 
   full8192   8192^3 bf16 matmul chain — the full-width reference rate
   qkT_d64    batched (S,64)x(64,S) — the QK^T contraction at head_dim 64
-             (contracting dim 64 = half the 128x128 MXU's depth)
-  pv_d64     batched (S,S)x(S,64) — the PV matmul (output width 64 = half
-             the MXU's lanes)
-  qkT+pv     alternating chain of both, the shape mix a flash kernel runs
+             (contracting dim 64 = half the 128x128 MXU's depth).
+             DIAGNOSTIC ONLY: the chain's carry keeps just d columns of the
+             logits, and XLA narrows the dot to those columns, so the
+             credited FLOPs overcount by S/d — the printed rate can exceed
+             chip peak.  The honest denominator is the mix row below.
+  pv_d64     batched (S,S)x(S,d) — the PV matmul reading the 0.5 GiB logits
+             from HBM each iter (HBM-bound by construction; diagnostic).
+  qkT+pv     alternating chain of both with the FULL logits tensor consumed
+             by the PV dot (bf16 rounding between the dots blocks
+             reassociation) — the shape mix a flash kernel runs, and the
+             number the 512^2 SOL derivation uses.
   d128 ctrl  same shapes at head_dim 128 — shows the cap is d=64-specific
 
 S defaults to lvl0's 4096 tokens.  Batch is sized so the logits tensor stays
 well under HBM while the grid is large enough to saturate the MXU.
+
+Timing protocol: each jitted call chains enough iterations that the timed
+DELTA between n1 and n2 calls is >= ~0.5 s of device work — the first
+version of this tool timed ~4 ms deltas against the ~30 ms tunnel RPC
+jitter and printed a 265 TF/s "measurement" above the chip's 197 TF/s bf16
+peak.  Deltas are repeated and the median taken; the spread is printed so a
+noisy row is visible as such.
 
 Usage:  python tools/bench_sol.py [S] [BH]
 """
@@ -32,9 +46,10 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
 
 
-def delta_time(fn, n1=2, n2=6):
+def delta_time(fn, n1=2, n2=6, repeats=3):
     """True device time per call: enqueue n async executions, fetch only the
-    last, difference two n values (cancels the ~30 ms tunnel RPC constant)."""
+    last, difference two n values (cancels the ~30 ms tunnel RPC constant).
+    Median of `repeats` deltas; returns (seconds_per_call, rel_spread)."""
 
     def run(n):
         t0 = time.perf_counter()
@@ -45,9 +60,15 @@ def delta_time(fn, n1=2, n2=6):
         return time.perf_counter() - t0
 
     run(1)  # compile + warm
-    t1 = run(n1)
-    t2 = run(n2)
-    return (t2 - t1) / (n2 - n1)
+    deltas = []
+    for _ in range(repeats):
+        t1 = run(n1)
+        t2 = run(n2)
+        deltas.append((t2 - t1) / (n2 - n1))
+    deltas.sort()
+    med = deltas[len(deltas) // 2]
+    spread = (deltas[-1] - deltas[0]) / med if med > 0 else float("inf")
+    return med, spread
 
 
 def chain(f, x, n):
@@ -64,10 +85,16 @@ def chain(f, x, n):
     return lambda: go(x)
 
 
-def rate(name, flops_per_iter, fn, n):
-    t = delta_time(fn) / n
+def rate(name, flops_per_iter, f, x, est_tf):
+    """Time `f` chained; size the chain so one call is ~0.15 s of device work
+    at the estimated rate (the delta then spans >= ~0.6 s)."""
+    est_iter_s = flops_per_iter / (est_tf * 1e12)
+    n = max(4, min(1024, int(0.15 / est_iter_s)))
+    t, spread = delta_time(chain(f, x, n))
+    t /= n
     tf = flops_per_iter / t / 1e12
-    print(f"  {name:26s} {t * 1e3:9.3f} ms/iter   {tf:7.1f} TF/s", flush=True)
+    print(f"  {name:26s} {t * 1e3:9.3f} ms/iter   {tf:7.1f} TF/s   "
+          f"(chain n={n}, delta spread {spread * 100:.0f}%)", flush=True)
     return tf
 
 
@@ -82,7 +109,8 @@ def main():
     m = 8192
     a = jax.random.normal(jax.random.key(0), (m, m), jnp.bfloat16)
     full = rate("full8192 (ref roofline)", 2 * m**3,
-                chain(lambda c: (c @ a).astype(jnp.bfloat16) * 1e-2, a, 8), 8)
+                lambda c: ((c @ a).astype(jnp.bfloat16) * 1e-2)
+                .astype(jnp.bfloat16), a, 170.0)
 
     results = {"full8192": full}
     for d in (64, 128):
@@ -91,31 +119,35 @@ def main():
         k = jax.random.normal(jax.random.key(2), (bh, s, d), jnp.bfloat16)
         v = jax.random.normal(jax.random.key(3), (bh, s, d), jnp.bfloat16)
 
-        # QK^T: (bh, s, d) x (bh, s, d) -> (bh, s, s), contracting over d
+        # QK^T: (bh, s, d) x (bh, s, d) -> (bh, s, s), contracting over d.
+        # DIAGNOSTIC: carry keeps d columns, XLA narrows the dot (see module
+        # docstring) — rate is an artifact, printed for completeness only.
         def qkt(c, k=k, d=d):
             p = jax.lax.dot_general(
                 c, k, (((2,), (2,)), ((0,), (0,)))).astype(jnp.bfloat16)
-            # fold back to (bh, s, d) rows so the chain carries q-shape
             return (p[..., :d] * 1e-3).astype(jnp.bfloat16)
 
         results[f"qkT_d{d}"] = rate(
-            f"qkT d={d}", 2 * bh * s * s * d, chain(qkt, q, 4), 4)
+            f"qkT d={d} (diag)", 2 * bh * s * s * d, qkt, q, 100.0)
 
-        # PV: (bh, s, s) x (bh, s, d) -> (bh, s, d), contracting over s
+        # PV: (bh, s, s) x (bh, s, d) -> (bh, s, d), contracting over s.
+        # DIAGNOSTIC: reads the 0.5 GiB logits tensor from HBM every iter,
+        # so this row measures HBM bandwidth, not the MXU (a flash kernel
+        # keeps the logits tile in VMEM).
         p0 = jax.random.normal(jax.random.key(4), (bh, s, s), jnp.bfloat16)
 
         def pv(c, v=v):
             o = jax.lax.dot_general(
                 c, v, (((2,), (1,)), ((0,), (0,))))
-            # rebuild an (bh, s, s) carry via a cheap broadcastish op? no —
-            # carry the (bh, s, d) output through a rank-restoring matmul
-            # would add flops; instead chain on P with a tiny perturbation
             return (c + 1e-6 * o[..., :1]).astype(jnp.bfloat16)
 
         results[f"pv_d{d}"] = rate(
-            f"PV  d={d}", 2 * bh * s * s * d, chain(pv, p0, 4), 4)
+            f"PV  d={d} (diag, HBM)", 2 * bh * s * s * d, pv, p0, 30.0)
 
-        # alternating qkT+pv chain — the flash kernel's actual shape mix
+        # alternating qkT+pv chain — the flash kernel's actual shape mix.
+        # The FULL (bh, s, s) logits feed the PV dot and the bf16 rounding
+        # between the dots blocks (c@kT)@v -> c@(kT@v) reassociation, so
+        # every credited FLOP is executed.  THIS is the SOL denominator.
         def both(c, k=k, v=v):
             p = jax.lax.dot_general(
                 c, k, (((2,), (2,)), ((0,), (0,)))).astype(jnp.bfloat16)
@@ -124,7 +156,7 @@ def main():
             return (o * 1e-3).astype(jnp.bfloat16)
 
         results[f"mix_d{d}"] = rate(
-            f"qkT+PV d={d}", 4 * bh * s * s * d, chain(both, q, 4), 4)
+            f"qkT+PV d={d}", 4 * bh * s * s * d, both, q, 90.0)
 
     # Derived speed-of-light for the 512^2/30-step headline, using the
     # measured mix_d64 rate as the attention denominator (docs/BENCH.md
