@@ -36,6 +36,8 @@ Usage:  python tools/bench_sol.py [S] [BH]
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -163,12 +165,26 @@ def main():
     # round 3: 20.4 TFLOPs non-attention + 3.2 TFLOPs self-attention per
     # image at 512x512/30 steps).
     att = results.get("mix_d64", 0.0)
-    if att and full:
+    if att and full and s == 4096:
         per_img = 20.4e12 / (full * 1e12) + 3.2e12 / (att * 1e12)
+        sol = 1.0 / per_img
         print(f"\nmeasured attention-aware SOL at 512^2/30-step: "
-              f"{1.0 / per_img:.2f} imgs/sec/chip "
+              f"{sol:.2f} imgs/sec/chip "
               f"(non-attn @ {full:.0f} TF/s, attn @ {att:.1f} TF/s)",
               flush=True)
+        # Persist the measured denominators so bench.py's pct_of_* fields
+        # derive from a measurement, not arithmetic (VERDICT r3 missing #4).
+        out = os.path.join(os.path.dirname(__file__), "..",
+                           "benchmarks", "sol_denominators.json")
+        with open(out, "w") as f:
+            json.dump({
+                "full_matmul_tf": round(full, 1),
+                "attn_mix_d64_tf": round(att, 1),
+                "sol_512_30step_imgs_per_sec": round(sol, 3),
+                "tool": "tools/bench_sol.py",
+                "shapes": {"S": s, "BH": bh},
+            }, f, indent=1)
+        print(f"wrote {os.path.normpath(out)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,15 @@ def main():
     # resolution, short adaptation at the real one.
     ap.add_argument("--stages", default="16:1500:32:1e-3,32:500:16:3e-4,"
                                         "64:250:8:1e-4")
+    # Resume/extend: load already-fitted params instead of random init, so a
+    # new resolution (e.g. 96x96 latents = 768px, BASELINE config 3; 128x128
+    # = SDXL 1024px) costs a short refinement, not a refit (VERDICT r3 #3/#7).
+    ap.add_argument("--init", default=None,
+                    help="msgpack of fitted params to start from")
+    # Measurement only: report sign fidelity at the given latent sizes
+    # (comma-separated) and exit without fitting.
+    ap.add_argument("--check", default=None,
+                    help="e.g. --check 64,96,128 (requires --init)")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +94,26 @@ def main():
     preset = PRESETS[args.preset]
     vae = AutoencoderKL(preset.vae, dtype=jnp.bfloat16)
     params = vae.init(jax.random.key(0), jnp.zeros((1, 3, 32, 32)))
+    if args.init:
+        with open(args.init, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        print(f"initialized from {args.init}", flush=True)
     pipe = types.SimpleNamespace(vae=vae, vae_params=params, preset=preset)
+
+    # Roundtrip-memory-bounded fidelity batch: keep batch*hw^2 constant at
+    # the proven 8x(64x64) operating point (the 128x128 stage decodes
+    # 1024px images — batch 8 there would OOM a 16GB chip).
+    def fid_batch(hw):
+        return max(1, 64 * 64 * 8 // (hw * hw))
+
+    if args.check:
+        for hw in (int(x) for x in args.check.split(",")):
+            b = fid_batch(hw)
+            fid = sign_fidelity(pipe, (hw, hw), batch=b)
+            print(f"sign fidelity @{hw}x{hw} ({hw * 8}px, batch {b}): "
+                  f"{fid:.4f}", flush=True)
+        return
+
     print(f"preset {args.preset}; initial sign fidelity @16x16:",
           f"{sign_fidelity(pipe, (16, 16)):.3f}", flush=True)
 
@@ -95,7 +123,7 @@ def main():
         t0 = time.time()
         fit_vae_roundtrip(pipe, steps=steps, batch=batch, lr=lr,
                           latent_hw=(hw, hw))
-        fid = sign_fidelity(pipe, (hw, hw))
+        fid = sign_fidelity(pipe, (hw, hw), batch=fid_batch(hw))
         print(f"stage {hw}x{hw}: {steps} steps batch {batch} lr {lr} "
               f"in {time.time()-t0:.0f}s -> sign fidelity {fid:.4f}",
               flush=True)

@@ -54,6 +54,13 @@ def main():
     ap.add_argument("--fifty-step-row", action="store_true", default=True)
     ap.add_argument("--no-fifty-step-row", dest="fifty_step_row",
                     action="store_false")
+    # Attack subset (comma-separated) — e.g. --attacks none,compression,noise
+    # for a quick quality artifact at SDXL scale (VERDICT r3 #7).
+    ap.add_argument("--attacks", default=None)
+    # bf16 weight residency: required for sdxl-base next to 16k-token
+    # activations on a 16GB chip (same knob as bench.py).
+    ap.add_argument("--weights-dtype", choices=("fp32", "bf16"),
+                    default=None)
     args = ap.parse_args()
 
     import jax
@@ -67,7 +74,11 @@ def main():
     from gswm.eval.sweep import DEFAULT_ATTACKS, run_sweep
     from gswm.pipelines import InversablePipeline
 
-    pipe = InversablePipeline(args.preset, rng=jax.random.key(0))
+    import jax.numpy as jnp
+
+    pipe = InversablePipeline(
+        args.preset, rng=jax.random.key(0),
+        weights_dtype=jnp.bfloat16 if args.weights_dtype == "bf16" else None)
     if args.preset == "tiny":
         from gswm.utils.fitting import fit_vae_roundtrip
 
@@ -96,11 +107,13 @@ def main():
                        message="lthero", width=args.res, height=args.res,
                        message_bits=256)
 
+    attacks = (tuple(args.attacks.split(",")) if args.attacks
+               else DEFAULT_ATTACKS)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    print(f"running {len(DEFAULT_ATTACKS)} attacks x 5 strengths ...",
-          flush=True)
+    print(f"running {len(attacks)} attacks x 5 strengths ...", flush=True)
     results = run_sweep(
         pipe, cfg, batch=args.batch, num_steps=args.steps,
+        attacks=attacks,
         out_jsonl=args.out, jpeg=args.jpeg,
         texture_amp=args.texture,
         extract_steps_rows=(50,) if args.fifty_step_row else (),
