@@ -39,7 +39,18 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
+    # The tunneled 'axon' TPU plugin registers regardless of JAX_PLATFORMS,
+    # so honor the env var explicitly (a "cpu" smoke test must never land on
+    # the chip — one TPU job at a time through the tunnel).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        os.environ.setdefault("GSWM_PLATFORM", "cpu")
+    from gswm.utils.platform import apply_platform_env, cpu_cache_dir
+
+    apply_platform_env()
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        cpu_cache_dir() if jax.default_backend() == "cpu"
+        else "/tmp/gswm-jax-cache")
 
     from gswm.config import GSConfig
     from gswm.core.decode import recover_message_bits

@@ -79,7 +79,17 @@ def main():
     import jax
     from flax import serialization
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gswm-jax-cache")
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so CPU smoke tests never land on the tunneled chip.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        os.environ.setdefault("GSWM_PLATFORM", "cpu")
+    from gswm.utils.platform import apply_platform_env, cpu_cache_dir
+
+    apply_platform_env()
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        cpu_cache_dir() if jax.default_backend() == "cpu"
+        else "/tmp/gswm-jax-cache")
 
     import types
 
