@@ -15,7 +15,6 @@ import os
 import numpy as np
 
 from gswm.config import GSConfig
-from gswm.core.decode import decode_latents
 from gswm.eval.metrics import calculate_bit_accuracy
 from gswm.eval.report import BatchReport
 
@@ -89,14 +88,18 @@ def load_images(paths, size) -> np.ndarray:
 
 def extract_batch(pipe, cfg, args, paths):
     imgs = load_images(paths, (args.width, args.height))
-    z = pipe.invert(images=imgs, num_steps=args.num_inference_steps,
-                    scheduler=args.scheduler, refine=args.refine)
+    # Fused serving path: inversion scan + quantize/decrypt/vote is ONE jit
+    # dispatch (pipe.extract_bits); z_T comes back alongside for the NaN
+    # sanitizer, same fetch count as the split path but ~3 fewer dispatches
+    # per chunk on a tunneled runtime (docs/BENCH.md dispatch budget).
+    voted, z = pipe.extract_bits(cfg, images=imgs,
+                                 num_steps=args.num_inference_steps,
+                                 scheduler=args.scheduler, refine=args.refine)
+    from gswm.core.bits import bits_to_bin_str
     from gswm.utils.debug import check_finite
 
     check_finite(z, name=f"inverted latents ({paths[0]}...)")
-    bins = decode_latents(z, cfg)
-    if isinstance(bins, str):
-        bins = [bins]
+    bins = [bits_to_bin_str(v) for v in np.asarray(voted)]
     results = []
     for path, extracted in zip(paths, bins):
         _, acc = calculate_bit_accuracy(args.original_message_hex, extracted)

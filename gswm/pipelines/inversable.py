@@ -403,6 +403,58 @@ class InversablePipeline:
             added_cond=added,
         )
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "num_steps", "scheduler", "refine",
+                         "l", "message_bits"),
+    )
+    def _invert_decode(self, unet_params, latents, ctx, keystream,
+                       num_steps: int, scheduler: str, refine: int,
+                       l: int, message_bits: int, added_cond=None):
+        from gswm.core.decode import _decode_chain
+
+        z_T = self._run(
+            unet_params, latents, ctx, ctx, jnp.float32(1.0),
+            num_steps=num_steps, scheduler=scheduler, guidance_mode=False,
+            invert=True, refine=refine, added_cond=added_cond,
+        )
+        return _decode_chain(z_T, keystream, l, message_bits), z_T
+
+    def extract_bits(self, cfg, images=None, latents=None,
+                     num_steps: int = 50, scheduler: str = "DDIM",
+                     refine: int = 0):
+        """One-dispatch extraction: inversion scan + quantize/decrypt/vote
+        fused into a single jit — the serving shape of the reference's
+        extract path (extract.py:46-101, which runs them as separate host
+        stages per image).
+
+        The VAE encode stays its own dispatch: fusing the chunked ``lax.map``
+        encode into the scan module is what crashed the tunneled remote
+        compiler (docs/BENCH.md round 3) — the mid-grain split keeps per-pass
+        host dispatches at 2 without that risk.
+
+        Returns ``(bits, z_T)``: voted message bits (B, message_bits) uint8
+        and the recovered init noise (fetch only what you use — both stay on
+        device until read).
+        """
+        from gswm.core.decode import _cached_keystream
+
+        if latents is None:
+            latents = self.image_to_latents(images)
+        rcfg = cfg.resolved()
+        key, nonce = rcfg.resolve_key_nonce()
+        keystream = _cached_keystream(key, nonce, rcfg.capacity_bits)
+        b = latents.shape[0]
+        f = 2 ** (len(self.preset.vae.block_out_channels) - 1)
+        added = self.default_added_cond(b, latents.shape[-2] * f,
+                                        latents.shape[-1] * f)
+        return self._invert_decode(
+            self.unet_params, jnp.asarray(latents), self.empty_context(b),
+            keystream, num_steps=num_steps, scheduler=scheduler,
+            refine=refine, l=rcfg.l, message_bits=rcfg.resolved_message_bits,
+            added_cond=added,
+        )
+
     # -- reference-pyc API parity (SURVEY.md §2.3) ---------------------------
     # Thin aliases matching InversableStableDiffusionPipeline /
     # ModifiedStableDiffusionPipeline method names so reference-derived code

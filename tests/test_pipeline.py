@@ -81,6 +81,22 @@ def test_full_image_roundtrip(fitted_pipe):
     assert acc > 0.9, acc
 
 
+def test_extract_bits_matches_split_path(pipe):
+    """The fused one-dispatch extraction (extract_bits) must return exactly
+    the invert + recover_message_bits result — same scan, same decode chain,
+    one jit (the serving shape of extract.py:46-101)."""
+    cfg = _cfg()
+    zT, msg = embed_latents(cfg, rng=jax.random.key(11), batch=2)
+    x0 = pipe.generate(zT, guidance_scale=1.0, num_steps=8, decode=False)
+    z_split = pipe.invert(latents=x0, num_steps=8)
+    voted_split = np.asarray(recover_message_bits(z_split, cfg))
+    voted_fused, z_fused = pipe.extract_bits(cfg, latents=x0, num_steps=8)
+    assert np.array_equal(np.asarray(voted_fused), voted_split)
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_split),
+                               rtol=0, atol=1e-6)
+    assert voted_split.shape == (2, 32)
+
+
 def test_guidance_path_runs(pipe):
     cfg = _cfg()
     zT, _ = embed_latents(cfg, rng=jax.random.key(7))
