@@ -262,6 +262,36 @@ class Attention(nn.Module):
         return fused_qkv_attention_fits(
             s, x.shape[-1], self.heads * self.head_dim, self.dtype)
 
+    def _use_cres(self, x) -> bool:
+        """Route self-attention to the channel-resident kernel
+        (gswm.ops.attention.flash_attention_cres)?  Covers the shapes ABOVE
+        the fused-qkv window (lvl0's 4096 tokens) where the split path pays
+        the (B,S,H,64)->(BH,S,64) relayout copies: three separate projection
+        matmuls feed the kernel in their NATIVE (B,S,C) layout (K/V weight
+        columns zero-padded to the 128-lane DMA boundary), heads unroll
+        in-kernel on static lane slices, and to_out consumes the (B,S,H*D)
+        output in place.  GSWM_CRES_ATTN=1 enables; stays opt-in until the
+        e2e A/B on chip confirms the win (same policy as the packed and
+        transposed experiments)."""
+        if os.environ.get("GSWM_CRES_ATTN", "0") != "1":
+            return False
+        s = x.shape[1]
+        lo = int(os.environ.get("GSWM_CRES_ATTN_MIN_SEQ", "2305"))
+        if s < lo:
+            return False  # fused-qkv window; below that, einsum
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            names = getattr(mesh, "axis_names", ()) or ()
+            for ax in ("tp", "sp"):
+                if ax in names and mesh.shape[ax] > 1:
+                    return False  # head/seq sharding needs the split path
+        except Exception:
+            pass
+        from gswm.ops.attention import cres_attention_fits
+
+        return cres_attention_fits(s, self.heads * self.head_dim,
+                                   self.dtype, self.head_dim)
+
     def _use_packed(self, x) -> bool:
         """Route self-attention to the pair-packed kernel (two d=64 heads
         per 128-lane block, one qkv matmul, zero relayouts — see
@@ -338,6 +368,28 @@ class Attention(nn.Module):
         # mode) so kernel numerics are testable on the virtual CPU mesh.
         on_device = (jax.default_backend() == "tpu"
                      or os.environ.get("GSWM_FORCE_FLASH") == "1")
+        if (context is None and on_device
+                and wq[1] is None and wk[1] is None and wv[1] is None
+                and self._use_cres(x)):
+            from gswm.ops.attention import flash_attention_cres
+
+            pad = (-inner) % 128
+
+            def padw(w):
+                w = w.astype(self.dtype)
+                return w if pad == 0 else jnp.pad(w, ((0, 0), (0, pad)))
+
+            # Three SEPARATE matmuls: each output is born in the (B,S,C)
+            # layout the kernel consumes — no qkv split, no head reshape,
+            # no transpose anywhere.  K/V weight columns are zero-padded to
+            # the 128-lane DMA boundary (loop-invariant, hoisted).
+            xd = x.astype(self.dtype)
+            q = jnp.dot(xd, wq[0].astype(self.dtype))
+            k = jnp.dot(xd, padw(wk[0]))
+            v = jnp.dot(xd, padw(wv[0]))
+            out = flash_attention_cres(q, k, v, self.heads, self.head_dim)
+            wo, bo = ProjWeights(inner, use_bias=True, name="to_out")(inner)
+            return jnp.dot(out, wo.astype(self.dtype)) + bo.astype(self.dtype)
         if (context is None and on_device
                 and wq[1] is None and wk[1] is None and wv[1] is None
                 and self._use_packed(x)):
@@ -597,7 +649,31 @@ class VAEAttention(nn.Module):
             jax.default_backend() == "tpu"
             or os.environ.get("GSWM_FORCE_FLASH") == "1"
         )
-        if use_flash:
+        # GSWM_VAE_ATTN=chunked: exact attention computed per query chunk
+        # under lax.map — O(S*chunk) logits memory AND differentiable.  The
+        # pallas flash kernel has no working autodiff rule (its JVP path
+        # asserts), which broke jax.value_and_grad through the decoder the
+        # first time a VAE fit stage crossed the flash threshold (96x96
+        # latents = 9216 tokens, tools/fit_sd21_vae.py round 4).  Fitting
+        # sets this mode (gswm.utils.fitting); generation/extraction keep
+        # the fast kernel.
+        if os.environ.get("GSWM_VAE_ATTN") == "chunked" and h * w > 1024:
+            scale = c**-0.5
+            chunk = 512
+            sq = q.shape[1]
+            pad = (-sq) % chunk
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0))) if pad else q
+            qc = qp.reshape(b, -1, chunk, c).transpose(1, 0, 2, 3)
+
+            def one_chunk(qt):
+                logits = jnp.einsum("bqc,bkc->bqk", qt, k) * scale
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), -1).astype(self.dtype)
+                return jnp.einsum("bqk,bkc->bqc", probs, v)
+
+            out = jax.lax.map(one_chunk, qc)
+            out = out.transpose(1, 0, 2, 3).reshape(b, -1, c)[:, :sq]
+        elif use_flash:
             from gswm.ops.attention import flash_attention
 
             out = flash_attention(

@@ -1022,6 +1022,175 @@ def flash_attention_packed(qkv, head_dim: int = 64,
     return out[:, :s0, :]
 
 
+# ---------------------------------------------------------------------------
+# Channel-resident (cres) tier: natural-layout q/k/v, zero relayouts.
+#
+# The split path's remaining lvl0 cost is the (B,S,H,64)->(BH,S,64) relayout
+# copies around the kernel custom call (~2.9 s of a 32 s 512^2 pass,
+# docs/BENCH.md round-3 budget).  Every previous attack changed the MATMUL
+# side (fused-qkv: projections in-kernel — lost at 4096; packed: 128-lane
+# pair blocks — grid-inefficient; transposed: (3N,B,S) operands — lost at
+# 768^2).  This tier changes neither: the three projections stay ordinary
+# XLA matmuls (full MXU, pipelined across the scan) whose (B,S,C) outputs
+# feed the kernel DIRECTLY — q via a (1,block_q,C) blockspec, K/V via ONE
+# manual DMA per image into single-buffered VMEM scratch (dodging Mosaic's
+# ~3x buffering of C-wide constant-index blocks, the reason a naive
+# (1,S,C) blockspec blows scoped VMEM at 4096).  Heads are unrolled
+# in-kernel with STATIC 64-lane slices (measured free in the fused-qkv
+# kernel), and the (1,block_q,C) output feeds to_out with no relayout.
+# Per-head matmul shapes are IDENTICAL to the split resident tier, so the
+# kernel rate is preserved and the copies are pure savings.
+#
+# K/V must arrive with a 128-multiple channel count (Mosaic DMA lane
+# alignment): the CALLER pads the k/v projection WEIGHT columns (zero
+# columns, folded at compile time — nothing at activation cost); q and the
+# output stay at the true inner width.
+
+_CRES_BLOCKS = ((512, 2048), (512, 1024), (256, 2048), (256, 1024),
+                (256, 512), (128, 512), (128, 256))
+# K/V scratch is single-buffered (manual DMA), so unlike the blockspec
+# tiers only q/o pay double-buffering; calibrated headroom for Mosaic's
+# ~2.8MB own buffering under the 16MB scoped-vmem ceiling.
+_CRES_VMEM_BUDGET = int(13.0 * 1024 * 1024)
+
+
+def _cres_need(s_pad: int, c_kv: int, inner: int, head_dim: int,
+               bq: int, bk: int, itemsize: int) -> int:
+    return (
+        2 * s_pad * c_kv * itemsize        # K + V scratch (single, manual DMA)
+        + 2 * 2 * bq * inner * itemsize    # q/o blocks, double-buffered
+        + 2 * bq * bk * 4                  # fp32 logits + exp temporaries
+        + bq * head_dim * 4                # fp32 accumulator
+    )
+
+
+def _cres_blocks(s_pad: int, c_kv: int, inner: int, head_dim: int,
+                 itemsize: int):
+    """Largest (block_q, block_k) whose VMEM estimate fits, or None."""
+    for bq, bk in _CRES_BLOCKS:
+        if s_pad % bq or s_pad % bk:
+            continue
+        if (_cres_need(s_pad, c_kv, inner, head_dim, bq, bk, itemsize)
+                <= _CRES_VMEM_BUDGET):
+            return bq, bk
+    return None
+
+
+def cres_attention_fits(seq: int, inner: int, dtype=jnp.bfloat16,
+                        head_dim: int = 64) -> bool:
+    """Does the channel-resident layout fit VMEM at this shape?  SD lvl0
+    512^2 (4096 tokens, C=320->384 padded) fits at (512,1024) = 11.9MB;
+    SDXL lvl0 (4096 tokens, C=640) fits at (128,1024); 768^2's 9216 tokens
+    do NOT (K/V scratch alone is 14.2MB) and stay on the split kvres tier."""
+    itemsize = jnp.dtype(dtype).itemsize
+    pad_unit = 256 if seq >= 256 else max(128, 1 << (seq - 1).bit_length())
+    s_pad = -(-seq // pad_unit) * pad_unit
+    c_kv = -(-inner // 128) * 128
+    return _cres_blocks(s_pad, c_kv, inner, head_dim, itemsize) is not None
+
+
+def _flash_kernel_cres(q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, k_sem,
+                       v_sem, *, heads: int, head_dim: int, block_k: int,
+                       scale: float, valid_k: int, use_max: bool):
+    """Grid (B, n_q_tiles); K/V for image b are DMA'd HBM->VMEM once at the
+    first q tile (scratch persists across the inner grid dimension), then
+    each q tile attends per head via static lane slices."""
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _():
+        ck = pltpu.make_async_copy(k_hbm.at[b], k_vmem, k_sem)
+        cv = pltpu.make_async_copy(v_hbm.at[b], v_vmem, v_sem)
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
+
+    s_pad = k_vmem.shape[0]
+    q_all = q_ref[0]
+    for h in range(heads):
+        lo = h * head_dim
+        q = q_all[:, lo:lo + head_dim]
+        q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+
+        def k_get(kb, lo=lo):
+            return k_vmem[pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        def v_get(kb, lo=lo):
+            return v_vmem[pl.ds(kb * block_k, block_k), lo:lo + head_dim]
+
+        out = _attend_kv_loop(q, k_get, v_get, block_k=block_k,
+                              valid_k=valid_k, use_max=use_max, seq_k=s_pad)
+        o_ref[0, :, lo:lo + head_dim] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "head_dim", "block_q", "block_k",
+                              "interpret")
+)
+def flash_attention_cres(q, k, v, heads: int, head_dim: int,
+                         block_q: int | None = None,
+                         block_k: int | None = None,
+                         interpret: bool | None = None):
+    """(B, S, H*D) q + (B, S, C_kv) k/v -> (B, S, H*D) attention output.
+
+    ``C_kv`` must be a 128 multiple (pad the k/v projection weight columns;
+    lanes past H*D are ignored).  Numerics match the split flash path
+    exactly: same per-head dots, same online softmax (_attend_kv_loop)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, inner = q.shape
+    c_kv = k.shape[2]
+    if c_kv % 128:
+        raise ValueError(
+            f"cres k/v channel count must be a 128 multiple, got {c_kv} — "
+            "pad the projection weight columns (see Attention routing)")
+    assert inner == heads * head_dim and v.shape == k.shape
+    scale = head_dim**-0.5
+    itemsize = jnp.dtype(q.dtype).itemsize
+    use_max = (q.dtype != jnp.bfloat16
+               or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
+    pad_unit = 256 if s >= 256 else max(128, 1 << (s - 1).bit_length())
+    qp, s0 = _pad_to(q, 1, pad_unit)
+    kp, _ = _pad_to(k, 1, pad_unit)
+    vp, _ = _pad_to(v, 1, pad_unit)
+    s_pad = qp.shape[1]
+    blocks = _cres_blocks(s_pad, c_kv, inner, head_dim, itemsize)
+    if blocks is None:
+        raise ValueError(
+            f"cres attention does not fit VMEM at seq={s}, inner={inner} — "
+            "gate with cres_attention_fits() and fall back to "
+            "flash_attention")
+    bq = blocks[0] if block_q is None else block_q
+    bk = blocks[1] if block_k is None else block_k
+    bq, bk = min(bq, s_pad), min(bk, s_pad)
+    kernel = functools.partial(
+        _flash_kernel_cres, heads=heads, head_dim=head_dim, block_k=bk,
+        scale=scale, valid_k=s0, use_max=use_max)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, inner), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # k in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # v in HBM; manual DMA
+        ],
+        out_specs=pl.BlockSpec((1, bq, inner), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, inner), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, c_kv), q.dtype),   # k (whole image)
+            pltpu.VMEM((s_pad, c_kv), q.dtype),   # v (whole image)
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :s0, :]
+
+
 def _flash_kernel_T(qkvT_hbm, o_hbm, q_vmem, o_vmem, k_bufs, v_bufs,
                     q_sem, o_sem, k_sems, v_sems, *, heads: int,
                     head_dim: int, block_q: int, block_k: int, scale: float,

@@ -26,7 +26,17 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
     UNets cancel the noise; random ones do not), so the fit must cover that
     regime for closed-loop runs.  Returns the pipe.
     """
+    import os
+
     import optax
+
+    # The pallas flash kernel in the VAE mid-block has no working autodiff
+    # rule; the chunked exact-attention mode is differentiable and memory-
+    # bounded (O(S*chunk) logits), so grads work at 96x96+/128x128 latent
+    # fit stages.  Env read at TRACE time inside VAEAttention, so setting it
+    # here covers the jitted step below; restored after the fit.
+    prev_vae_attn = os.environ.get("GSWM_VAE_ATTN")
+    os.environ["GSWM_VAE_ATTN"] = "chunked"
 
     from gswm.models.vae import AutoencoderKL
 
@@ -59,12 +69,18 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
 
     rng = rng if rng is not None else jax.random.key(42)
     h, w = latent_hw
-    for _ in range(steps):
-        rng, kz, ks = jax.random.split(rng, 3)
-        scale = jax.random.uniform(ks, (batch, 1, 1, 1),
-                                   minval=scale_range[0],
-                                   maxval=scale_range[1])
-        z = scale * jax.random.normal(kz, (batch, c, h, w))
-        params, state, _ = step(params, state, z, scale)
+    try:
+        for _ in range(steps):
+            rng, kz, ks = jax.random.split(rng, 3)
+            scale = jax.random.uniform(ks, (batch, 1, 1, 1),
+                                       minval=scale_range[0],
+                                       maxval=scale_range[1])
+            z = scale * jax.random.normal(kz, (batch, c, h, w))
+            params, state, _ = step(params, state, z, scale)
+    finally:
+        if prev_vae_attn is None:
+            os.environ.pop("GSWM_VAE_ATTN", None)
+        else:
+            os.environ["GSWM_VAE_ATTN"] = prev_vae_attn
     pipe.vae_params = params
     return pipe

@@ -34,6 +34,7 @@ sys.path.insert(0, ".")
 
 from gswm.ops.attention import (  # noqa: E402
     flash_attention,
+    flash_attention_cres,
     flash_attention_fused_qkv,
     flash_attention_packed,
     flash_attention_transposed,
@@ -91,6 +92,19 @@ def make_fn(variant, b, s, c, h, d):
             qkvT = jnp.einsum("nc,bsc->nbs", wqkv.T, x)
             oT = flash_attention_transposed(qkvT, h, d)
             return jnp.einsum("nbs,nc->bsc", oT, wout), None
+        if variant == "cres":
+            # channel-resident: three separate matmuls feed the kernel in
+            # their native (B,S,C) layout; K/V weight columns zero-padded
+            # to the 128-lane DMA boundary; to_out consumes (B,S,HD)
+            pad = (-inner) % 128
+
+            def padc(w):
+                return w if pad == 0 else jnp.pad(w, ((0, 0), (0, pad)))
+
+            q = jnp.dot(x, wqkv[:, :inner])
+            k = jnp.dot(x, padc(wqkv[:, inner:2 * inner]))
+            v = jnp.dot(x, padc(wqkv[:, 2 * inner:]))
+            return flash_attention_cres(q, k, v, h, d), wout
         if variant == "current":
             qkv = jnp.dot(x, wqkv)
             q, k, v = jnp.split(qkv, [inner, 2 * inner], axis=-1)
@@ -138,8 +152,8 @@ def main():
         b, s, c, h, d = SHAPES[name]
         print(f"{name}: (b={b}, s={s}, c={c}, h={h}, d={d})", flush=True)
         base = None
-        for variant in ["floor", "current", "separate", "fusedk", "packed",
-                        "transposed"]:
+        for variant in ["floor", "current", "separate", "cres", "fusedk",
+                        "packed", "transposed"]:
             try:
                 fn = make_fn(variant, b, s, c, h, d)
                 t = delta_time(fn) / 4

@@ -127,6 +127,7 @@ def main():
     print(f"preset {args.preset}; initial sign fidelity @16x16:",
           f"{sign_fidelity(pipe, (16, 16)):.3f}", flush=True)
 
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     for stage in args.stages.split(","):
         hw, steps, batch, lr = stage.split(":")
         hw, steps, batch, lr = int(hw), int(steps), int(batch), float(lr)
@@ -137,11 +138,15 @@ def main():
         print(f"stage {hw}x{hw}: {steps} steps batch {batch} lr {lr} "
               f"in {time.time()-t0:.0f}s -> sign fidelity {fid:.4f}",
               flush=True)
+        # checkpoint after EVERY stage: a crash at a later stage (e.g. the
+        # 96x96 flash-autodiff break, round 4) must not lose the hour of
+        # progressive fitting before it — resume with --init.
+        with open(args.out, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(pipe.vae_params)))
 
     fid64 = sign_fidelity(pipe, (64, 64))
     print(f"final sign fidelity @64x64 (512px): {fid64:.4f}", flush=True)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(pipe.vae_params)))
     print(f"wrote {args.out} "
