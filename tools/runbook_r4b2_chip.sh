@@ -41,10 +41,15 @@ run() {
 
 SYNC="GSWM_BENCH_SYNC_EVERY_PASS=1"
 
-# -- A. fast-fail probe of the fitting fix (3 steps at the stage that
-#       crashed), so the fit is known-good before we spend perf time.
+# -- A. fast-fail probe of the fitting fix at the LARGEST retained stage.
+#       The 96x96 stage is GONE: its backward OOMs the compiler at 83G vs
+#       15.75G HBM (single-checkpoint remat materializes the whole 768px
+#       decoder backward; /tmp/runbook_r4b/fit_probe.log 11:11) and the OOM
+#       crashes the tunnel compile helper for ~15 min.  Conv/attention VAE
+#       weights are resolution-agnostic, so the 64-stage fit is CHECKED at
+#       96/128 instead (vae_check below gates the 768/1024 sweeps).
 run fit_probe 1800 python tools/fit_sd21_vae.py \
-  --stages "96:3:4:1e-4" --out /tmp/fit_probe.msgpack
+  --stages "64:3:8:1e-4" --out /tmp/fit_probe.msgpack
 
 # -- B. perf levers at 512 (VERDICT #1): every e2e row at the per-pass-sync
 #       grading protocol.  Outcomes decide default flips.
@@ -59,11 +64,12 @@ run cres_blocks 2400 python tools/exp_cres_blocks.py lvl0
 run bench768_fusemid 3000 env $SYNC GSWM_BENCH_FUSE_MID=1 GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=48 python bench.py
 run bench768_b56 2400 env $SYNC GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=56 GSWM_BENCH_FORCE_BATCH=1 python bench.py
 
-# -- D. the full progressive VAE fit (+96 stage for 768px, +128 for SDXL),
-#       checkpointed per stage, then its fidelity check.
+# -- D. the progressive VAE fit (round-3 recipe; 96/128 fit stages dropped,
+#       see A), checkpointed per stage, then the 96/128 fidelity CHECK that
+#       gates the 768/1024 sweeps.
 run fit_vae 5400 python tools/fit_sd21_vae.py \
-  --stages "16:1500:32:1e-3,32:500:16:3e-4,64:250:8:1e-4,96:150:4:1e-4,128:100:2:1e-4"
-run vae_check 1200 python tools/fit_sd21_vae.py \
+  --stages "16:1500:32:1e-3,32:500:16:3e-4,64:300:8:1e-4"
+run vae_check 1800 python tools/fit_sd21_vae.py \
   --init benchmarks/fitted_vae_sd21arch.msgpack --check 64,96,128
 
 # -- E. BASELINE config 3 at its ACTUAL resolution: 768^2 robustness
