@@ -9,6 +9,8 @@ Public tensors are NCHW to match the reference convention.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -76,6 +78,20 @@ class VAEMid(nn.Module):
         return x
 
 
+def _maybe_remat(cls):
+    """GSWM_VAE_REMAT=block: checkpoint each encoder/decoder block, so a
+    grad through the VAE stores only block-boundary activations and
+    re-materializes one block's internals at a time.  The flat
+    jax.checkpoint around the whole decode (gswm.utils.fitting) is NOT
+    enough at 768px+: its backward materializes every up-block temporary at
+    once — the 96x96-latent fit stage OOM'd the compiler at 83G vs 15.75G
+    HBM (runbook r4b2 fit_probe).  Param structure is unchanged (nn.remat
+    is transparent to module paths); forward-only inference is unaffected."""
+    if os.environ.get("GSWM_VAE_REMAT") == "block":
+        return nn.remat(cls)
+    return cls
+
+
 class Encoder(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
@@ -87,11 +103,12 @@ class Encoder(nn.Module):
                     dtype=self.dtype, name="conv_in")(x)
         n = len(cfg.block_out_channels)
         for i, ch in enumerate(cfg.block_out_channels):
-            x = EncoderBlock(ch, cfg.layers_per_block, cfg.norm_groups,
-                             add_downsample=i < n - 1, dtype=self.dtype,
-                             name=f"down_blocks_{i}")(x)
-        x = VAEMid(cfg.block_out_channels[-1], cfg.norm_groups, self.dtype,
-                   name="mid_block")(x)
+            x = _maybe_remat(EncoderBlock)(
+                ch, cfg.layers_per_block, cfg.norm_groups,
+                add_downsample=i < n - 1, dtype=self.dtype,
+                name=f"down_blocks_{i}")(x)
+        x = _maybe_remat(VAEMid)(cfg.block_out_channels[-1], cfg.norm_groups,
+                                 self.dtype, name="mid_block")(x)
         x = GroupNorm32(cfg.norm_groups, epsilon=1e-6, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
@@ -108,12 +125,14 @@ class Decoder(nn.Module):
         rev = tuple(reversed(cfg.block_out_channels))
         x = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(z)
-        x = VAEMid(rev[0], cfg.norm_groups, self.dtype, name="mid_block")(x)
+        x = _maybe_remat(VAEMid)(rev[0], cfg.norm_groups, self.dtype,
+                                 name="mid_block")(x)
         n = len(rev)
         for i, ch in enumerate(rev):
-            x = DecoderBlock(ch, cfg.layers_per_block + 1, cfg.norm_groups,
-                             add_upsample=i < n - 1, dtype=self.dtype,
-                             name=f"up_blocks_{i}")(x)
+            x = _maybe_remat(DecoderBlock)(
+                ch, cfg.layers_per_block + 1, cfg.norm_groups,
+                add_upsample=i < n - 1, dtype=self.dtype,
+                name=f"up_blocks_{i}")(x)
         x = GroupNorm32(cfg.norm_groups, epsilon=1e-6, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype,

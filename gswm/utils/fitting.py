@@ -37,6 +37,11 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
     # here covers the jitted step below; restored after the fit.
     prev_vae_attn = os.environ.get("GSWM_VAE_ATTN")
     os.environ["GSWM_VAE_ATTN"] = "chunked"
+    # Per-block remat inside the flat decode/encode checkpoints below:
+    # without it the backward at 768px+ images materializes every up-block
+    # temporary at once (83G vs 15.75G HBM, runbook r4b2 fit_probe).
+    prev_vae_remat = os.environ.get("GSWM_VAE_REMAT")
+    os.environ["GSWM_VAE_REMAT"] = "block"
 
     from gswm.models.vae import AutoencoderKL
 
@@ -82,5 +87,9 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
             os.environ.pop("GSWM_VAE_ATTN", None)
         else:
             os.environ["GSWM_VAE_ATTN"] = prev_vae_attn
+        if prev_vae_remat is None:
+            os.environ.pop("GSWM_VAE_REMAT", None)
+        else:
+            os.environ["GSWM_VAE_REMAT"] = prev_vae_remat
     pipe.vae_params = params
     return pipe
