@@ -270,10 +270,12 @@ class Attention(nn.Module):
         matmuls feed the kernel in their NATIVE (B,S,C) layout (K/V weight
         columns zero-padded to the 128-lane DMA boundary), heads unroll
         in-kernel on static lane slices, and to_out consumes the (B,S,H*D)
-        output in place.  GSWM_CRES_ATTN=1 enables; stays opt-in until the
-        e2e A/B on chip confirms the win (same policy as the packed and
-        transposed experiments)."""
-        if os.environ.get("GSWM_CRES_ATTN", "0") != "1":
+        output in place.  DEFAULT ON since the chip e2e A/B: 5.0656 vs
+        5.0376 imgs/sec/chip at 512²/b160/30-step per-pass-sync (runbook
+        r4b2 bench512_cres, real Mosaic, 2026-08-19); parity pinned incl.
+        ragged shapes in tests/test_cres_attention.py.  GSWM_CRES_ATTN=0
+        restores the split path."""
+        if os.environ.get("GSWM_CRES_ATTN", "1") != "1":
             return False
         s = x.shape[1]
         lo = int(os.environ.get("GSWM_CRES_ATTN_MIN_SEQ", "2305"))
