@@ -225,6 +225,23 @@ def main():
             out["sol_source"] = "derived arithmetically (unmeasured)"
         out["pct_of_measured_roofline"] = round(100.0 * value / 6.9, 1)
         out["pct_of_speed_of_light"] = round(100.0 * value / sol, 1)
+    elif steps == 30:
+        # 768/SDXL rows: % of the naive all-matmul roofline from the XLA
+        # cost-analysis FLOPs (benchmarks/sol_denominators.json) at the
+        # measured 174 TF/s chain rate.  No attention-aware SOL is claimed
+        # at these shapes — the 512 profile tools disagree on the FLOP
+        # split there (docs/BENCH.md round 4).
+        sol_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "sol_denominators.json")
+        try:
+            with open(sol_path) as f:
+                naive = json.load(f)["naive_roofline_imgs_per_sec_30step"]
+            key = f"{preset}@{res}"
+            if key in naive:
+                out["pct_of_naive_roofline"] = round(
+                    100.0 * value / naive[key], 1)
+        except (OSError, KeyError, ValueError):
+            pass
     print(json.dumps(out))
 
 
