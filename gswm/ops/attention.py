@@ -1048,10 +1048,16 @@ def flash_attention_packed(qkv, head_dim: int = 64,
 
 _CRES_BLOCKS = ((512, 2048), (512, 1024), (256, 2048), (256, 1024),
                 (256, 512), (128, 512), (128, 256))
-# K/V scratch is single-buffered (manual DMA), so unlike the blockspec
-# tiers only q/o pay double-buffering; calibrated headroom for Mosaic's
-# ~2.8MB own buffering under the 16MB scoped-vmem ceiling.
-_CRES_VMEM_BUDGET = int(13.0 * 1024 * 1024)
+# Calibrated against real Mosaic outcomes (runbook r4b2 cres_blocks sweep):
+# (512,2048) at lvl0-512² (s_pad 4096, c_kv 384) estimates 16.1MB and
+# COMPILES AND WINS — 48.57 ms/step vs 51.30 at the (512,1024) a 13MB
+# budget had picked — so the cres layout's Mosaic overhead is far below
+# the fused-qkv tier's ~2.8MB (single-buffered scratch, only q/o blocks
+# double-buffer).  The K/V scratch itself is separately capped: 768²'s
+# 9216 tokens (14.2MB of scratch alone) must keep falling back to the
+# split kvres tier rather than gamble the compile.
+_CRES_VMEM_BUDGET = int(16.2 * 1024 * 1024)
+_CRES_SCRATCH_CAP = int(13.0 * 1024 * 1024)
 
 
 def _cres_need(s_pad: int, c_kv: int, inner: int, head_dim: int,
@@ -1067,6 +1073,8 @@ def _cres_need(s_pad: int, c_kv: int, inner: int, head_dim: int,
 def _cres_blocks(s_pad: int, c_kv: int, inner: int, head_dim: int,
                  itemsize: int):
     """Largest (block_q, block_k) whose VMEM estimate fits, or None."""
+    if 2 * s_pad * c_kv * itemsize > _CRES_SCRATCH_CAP:
+        return None
     for bq, bk in _CRES_BLOCKS:
         if s_pad % bq or s_pad % bk:
             continue
