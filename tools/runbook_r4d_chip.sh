@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4d: final headline rows after the cres default flip (150e01f) and
+# the measured block recalibration (9efe3cb, auto now (512,2048) at lvl0).
+#
+#   bash tools/runbook_r4d_chip.sh
+#
+# Logs: /tmp/runbook_r4d/<step>.log
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/runbook_r4d
+
+log() { echo "[runbook_r4d $(date +%H:%M:%S)] $*" | tee -a /tmp/runbook_r4d/status.log; }
+
+log "waiting for tunnel..."
+until timeout 300 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 8)); assert float((x @ x).sum()) == 512.0
+print(jax.devices())
+" > /tmp/runbook_r4d/probe.log 2>&1; do
+  sleep 120
+done
+log "tunnel UP"
+
+run() {
+  local name=$1 to=$2; shift 2
+  log "START $name"
+  if timeout "$to" "$@" > "/tmp/runbook_r4d/$name.log" 2>&1; then
+    log "OK    $name"
+    return 0
+  fi
+  log "FAIL  $name (see /tmp/runbook_r4d/$name.log)"
+  return 1
+}
+
+SYNC="GSWM_BENCH_SYNC_EVERY_PASS=1"
+
+# 1. The headline: repo defaults (cres on, blocks (512,2048)), grading
+#    protocol, then the pipelined serving protocol.
+run bench512_final_sync 2400 env $SYNC python bench.py
+run bench512_final_pipe 2400 python bench.py
+
+# 2. In-context confirmation of the recalibrated auto pick.
+run attn_ctx_final 2400 python tools/exp_attn_context.py lvl0
+
+log "runbook_r4d complete"
