@@ -1073,7 +1073,12 @@ def _cres_need(s_pad: int, c_kv: int, inner: int, head_dim: int,
 def _cres_blocks(s_pad: int, c_kv: int, inner: int, head_dim: int,
                  itemsize: int):
     """Largest (block_q, block_k) whose VMEM estimate fits, or None."""
-    if 2 * s_pad * c_kv * itemsize > _CRES_SCRATCH_CAP:
+    # GSWM_CRES_SCRATCH_CAP: experiment override (bytes) — 9216 tokens
+    # (14.16MB scratch, total (256,512) estimate 15.94MB) is under the
+    # measured 16.2MB ceiling but has never compiled on real Mosaic; the
+    # default cap keeps 768² on the proven split kvres tier until the A/B.
+    cap = int(os.environ.get("GSWM_CRES_SCRATCH_CAP", _CRES_SCRATCH_CAP))
+    if 2 * s_pad * c_kv * itemsize > cap:
         return None
     for bq, bk in _CRES_BLOCKS:
         if s_pad % bq or s_pad % bk:

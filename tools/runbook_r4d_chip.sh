@@ -42,4 +42,12 @@ run bench512_final_pipe 2400 python bench.py
 # 2. In-context confirmation of the recalibrated auto pick.
 run attn_ctx_final 2400 python tools/exp_attn_context.py lvl0
 
+# 3. cres at 9216 tokens (768² lvl0): scratch-cap override lets the
+#    (256,512) config through (estimate 15.94MB vs the measured 16.2MB
+#    ceiling) — first real-Mosaic compile of cres at this shape, in-context
+#    A/B then e2e.  A compile failure here costs nothing (opt-in path).
+run attn_ctx_cres768 2400 env GSWM_CRES_SCRATCH_CAP=15000000 python tools/exp_attn_context.py lvl0_768
+run bench768_cres 2400 env $SYNC GSWM_CRES_SCRATCH_CAP=15000000 GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=48 python bench.py
+run bench768_cres_b56 2400 env $SYNC GSWM_CRES_SCRATCH_CAP=15000000 GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=56 GSWM_BENCH_FORCE_BATCH=1 python bench.py
+
 log "runbook_r4d complete"
