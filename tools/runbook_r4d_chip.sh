@@ -39,8 +39,9 @@ SYNC="GSWM_BENCH_SYNC_EVERY_PASS=1"
 run bench512_final_sync 2400 env $SYNC python bench.py
 run bench512_final_pipe 2400 python bench.py
 
-# 2. In-context confirmation of the recalibrated auto pick.
-run attn_ctx_final 2400 python tools/exp_attn_context.py lvl0
+# 2. In-context confirmation of the recalibrated auto pick; lvl1 row asks
+#    whether cres also beats the fused-qkv window at 1024 tokens.
+run attn_ctx_final 3000 python tools/exp_attn_context.py lvl0 lvl1
 
 # 3. cres at 9216 tokens (768² lvl0): scratch-cap override lets the
 #    (256,512) config through (estimate 15.94MB vs the measured 16.2MB
