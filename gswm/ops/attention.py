@@ -4,13 +4,23 @@ The model path (gswm.models.layers.Attention) routes query sequences
 >= 1024 tokens here — XLA's einsum attention materializes the O(S^2) fp32
 logits tensor in HBM (5.4GB per SD lvl1 layer call at batch 128; simply
 impossible at SDXL's 16k tokens), while this kernel keeps everything at
-(block_q, block_k) tiles.  Three layouts, chosen by VMEM demand:
+(block_q, block_k) tiles.  Split-layout tiers, chosen by VMEM demand:
 
   1. head-resident — whole Q/K/V per head in VMEM (SD 512x512, 4096 tok);
   2. KV-resident / Q-streamed — K/V once per head, query tiles pipelined
      through the grid (768x768's 9216 tok);
   3. streaming-K — (q-tile, k-tile) grid with fp32 scratch accumulators,
      any length (SDXL 16k: 68 ms, 80 TFLOP/s measured).
+
+Natural-layout tiers that avoid the split path's relayout copies:
+
+  * channel-resident (flash_attention_cres, DEFAULT at 2305..4096 tokens)
+    — q/k/v consumed in their native (B,S,C) projection layout, K/V DMA'd
+    once per image into single-buffered scratch, heads unrolled on static
+    lane slices; measured 48.57 vs 52.96 ms/step in context at lvl0 512²;
+  * fused-qkv (projections in-kernel, DEFAULT in the 256..2304 window);
+  * pair-packed and transposed-operand — measured losses, opt-in recorded
+    experiments (docs/BENCH.md rounds 3-4).
 
 Softmax: fp32 exp always (Mosaic's bf16 exp measured ~4x slower); on the
 bf16 model path the running row-max and its rescale chain are dropped
