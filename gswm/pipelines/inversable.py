@@ -331,12 +331,19 @@ class InversablePipeline:
 
     def _vae_chunk_for(self, x) -> int:
         hw = x.shape[-2] * x.shape[-1]
-        if x.shape[1] == self.preset.vae.latent_channels:
+        decode = x.shape[1] == self.preset.vae.latent_channels
+        if decode:
             # decode path: activations blow up to image size at the output
             f = 2 ** (len(self.preset.vae.block_out_channels) - 1)
             hw *= f * f
         scale = max(1.0, hw / (512 * 512))
-        return max(4, int(self.vae_chunk / scale) & ~3)
+        if decode:
+            # The decoder's up-block temporaries are fp32 NHWC and ~2x the
+            # encoder's residency (e.g. (B,768,768,256) = 4.8GB at batch 8):
+            # the linear budget OOM'd a 16GB chip decoding batch 8 at 768px
+            # (runbook r4b2 sweep768) — decode takes a 4x safety factor.
+            scale *= 4.0
+        return max(2, int(self.vae_chunk / scale))
 
     def _vae_chunked(self, x, method):
         return self._vae_chunked_with(self.vae_params, x, method)

@@ -159,6 +159,10 @@ def test_vae_chunk_scales_with_resolution(pipe):
     c512 = pipe._vae_chunk_for(img_512)
     c768 = pipe._vae_chunk_for(img_768)
     assert c768 < c512 == pipe.vae_chunk
-    # latents for a 512x512 decode must be budgeted like 512x512 images
-    lat = jnp.zeros((1, pipe.preset.vae.latent_channels, 64, 64))
-    assert pipe._vae_chunk_for(lat) == c512
+    # decode is budgeted 4x more conservatively than encode at the same
+    # pixel count (up-block fp32 temporaries; 768px batch-8 OOM, r4b2).
+    # tiny's VAE factor is 2, so 256x256 latents decode to 512px images.
+    lat_512px = jnp.zeros((1, pipe.preset.vae.latent_channels, 256, 256))
+    lat_768px = jnp.zeros((1, pipe.preset.vae.latent_channels, 384, 384))
+    assert pipe._vae_chunk_for(lat_512px) == pipe.vae_chunk // 4
+    assert 2 <= pipe._vae_chunk_for(lat_768px) < pipe._vae_chunk_for(lat_512px)

@@ -39,6 +39,14 @@ SYNC="GSWM_BENCH_SYNC_EVERY_PASS=1"
 run bench512_final_sync 2400 env $SYNC python bench.py
 run bench512_final_pipe 2400 python bench.py
 
+# 1b. sweep768 RERUN (VERDICT #3, BASELINE config 3's actual resolution):
+#     the r4b2 attempt OOM'd decoding batch 8 at 768px before the decode
+#     chunk budget got its 4x safety factor — the fitted VAE checks 0.9966
+#     sign fidelity at 96x96, so the artifact is live now.
+run sweep768 7200 python tools/run_robustness_sweep.py \
+  --preset sd-2-1-base --platform tpu --res 768 --batch 8 \
+  --out benchmarks/robustness_sweep_sd21arch_768_tpu.jsonl
+
 # 2. In-context confirmation of the recalibrated auto pick; lvl1 row asks
 #    whether cres also beats the fused-qkv window at 1024 tokens.
 run attn_ctx_final 3000 python tools/exp_attn_context.py lvl0 lvl1
