@@ -59,4 +59,9 @@ run attn_ctx_cres768 2400 env GSWM_CRES_SCRATCH_CAP=15000000 python tools/exp_at
 run bench768_cres 2400 env $SYNC GSWM_CRES_SCRATCH_CAP=15000000 GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=48 python bench.py
 run bench768_cres_b56 2400 env $SYNC GSWM_CRES_SCRATCH_CAP=15000000 GSWM_BENCH_RES=768 GSWM_BENCH_BATCH=56 GSWM_BENCH_FORCE_BATCH=1 python bench.py
 
+# 4. SDXL forced-b4 row (the unforced r4b2 request was policy-clamped to
+#    b2 = 0.5944 imgs/sec; the batch sweep needs the 4-point).
+run bench_sdxl_b4_forced 3600 env $SYNC GSWM_BENCH_PRESET=sdxl-base GSWM_BENCH_RES=1024 \
+  GSWM_BENCH_BATCH=4 GSWM_BENCH_FORCE_BATCH=1 GSWM_BENCH_WEIGHTS_DTYPE=bf16 python bench.py
+
 log "runbook_r4d complete"
