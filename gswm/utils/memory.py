@@ -38,7 +38,9 @@ _MEASURED_V5E_16GB = {
     # pipeline auto-selects bf16 residency for this family, see
     # suggest_weights_dtype)
     "sdxl": {
-        1024: 2,    # measured OK r2 (0.248 imgs/s, docs/BENCH.md)
+        1024: 8,    # measured OK r4 (0.7035 imgs/s at forced b8, 75.5% of
+                    # the naive roofline — vs 0.5944 at the old b2 anchor;
+                    # runbook r4b2 bench_sdxl_b8)
     },
 }
 
