@@ -64,4 +64,12 @@ run bench768_cres_b56 2400 env $SYNC GSWM_CRES_SCRATCH_CAP=15000000 GSWM_BENCH_R
 run bench_sdxl_b4_forced 3600 env $SYNC GSWM_BENCH_PRESET=sdxl-base GSWM_BENCH_RES=1024 \
   GSWM_BENCH_BATCH=4 GSWM_BENCH_FORCE_BATCH=1 GSWM_BENCH_WEIGHTS_DTYPE=bf16 python bench.py
 
+# 5. SDXL 1024² quality artifact RETRY: the r4b2 attempt OOM'd compiling
+#    the extra 50-step inversion graph on top of the batch-4 graphs —
+#    batch 2 + no 50-step row keeps the resident-graph set inside HBM.
+run sweep_sdxl_quality 7200 python tools/run_robustness_sweep.py \
+  --preset sdxl-base --platform tpu --res 1024 --batch 2 --weights-dtype bf16 \
+  --attacks none,compression,noise --no-fifty-step-row \
+  --out benchmarks/robustness_sweep_sdxlarch_1024_tpu.jsonl
+
 log "runbook_r4d complete"
