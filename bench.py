@@ -12,7 +12,7 @@ for its torch fp16 pipeline on a single A100 at the same 30-step setting
 (30 UNet forwards at ~40 ms each, plus VAE encode and per-image pipeline
 rebuild overhead, extract.py:56-60) — documented estimate, not a measurement.
 
-Env knobs: GSWM_BENCH_BATCH (default 160), GSWM_BENCH_STEPS (default 30),
+Env knobs: GSWM_BENCH_BATCH (default 192), GSWM_BENCH_STEPS (default 30),
 GSWM_BENCH_SCHED (DDIM | DPMs), GSWM_BENCH_PRESET (default sd-2-1-base),
 GSWM_BENCH_RES (default 512), GSWM_BENCH_WEIGHTS_DTYPE (fp32 | bf16 —
 bf16 halves weight residency; required for sdxl-base on a 16GB chip),
@@ -65,7 +65,10 @@ def main():
     # ceiling for this resolution (gswm.utils.memory; VERDICT r1 next #3).
     from gswm.utils.memory import suggest_batch
 
-    requested = int(os.environ.get("GSWM_BENCH_BATCH", "160"))
+    # 192 re-measured as the throughput point in round 4 (5.1499 vs 5.066
+    # at 160, per-pass-sync, post-cres) — the r3 "160 sweet spot" predated
+    # the channel-resident tier and its block recalibration.
+    requested = int(os.environ.get("GSWM_BENCH_BATCH", "192"))
     # GSWM_BENCH_FORCE_BATCH=1 bypasses the policy (for probing new anchors)
     arch = "sdxl" if preset.startswith("sdxl") else "sd"
     if os.environ.get("GSWM_BENCH_FORCE_BATCH") == "1":
