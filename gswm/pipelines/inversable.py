@@ -338,12 +338,14 @@ class InversablePipeline:
             hw *= f * f
         scale = max(1.0, hw / (512 * 512))
         if decode:
-            # The decoder's up-block temporaries are fp32 NHWC and ~2x the
-            # encoder's residency (e.g. (B,768,768,256) = 4.8GB at batch 8):
-            # the linear budget OOM'd a 16GB chip decoding batch 8 at 768px
-            # (runbook r4b2 sweep768) — decode takes a 4x safety factor.
-            scale *= 4.0
-        return max(2, int(self.vae_chunk / scale))
+            # The decoder's up-block temporaries are fp32 NHWC and the
+            # GroupNorm NCHW-copy stats hold ~2 extra copies of each
+            # ((B,1024,1024,128) = 1.07GB per copy at batch 1): batch-8
+            # decode at 768px OOM'd under a 4x factor's chunk-2 (runbook
+            # r4b2 sweep768) and batch-2 decode at 1024px OOM'd even at
+            # chunk 2 (r4e) — decode takes an 8x factor with a floor of 1.
+            scale *= 8.0
+        return max(1, int(self.vae_chunk / scale))
 
     def _vae_chunked(self, x, method):
         return self._vae_chunked_with(self.vae_params, x, method)

@@ -159,10 +159,11 @@ def test_vae_chunk_scales_with_resolution(pipe):
     c512 = pipe._vae_chunk_for(img_512)
     c768 = pipe._vae_chunk_for(img_768)
     assert c768 < c512 == pipe.vae_chunk
-    # decode is budgeted 4x more conservatively than encode at the same
-    # pixel count (up-block fp32 temporaries; 768px batch-8 OOM, r4b2).
+    # decode is budgeted 8x more conservatively than encode at the same
+    # pixel count (up-block fp32 temporaries + GroupNorm NCHW copies;
+    # 768px batch-8 and 1024px batch-2 decode OOMs, r4b2/r4e).
     # tiny's VAE factor is 2, so 256x256 latents decode to 512px images.
     lat_512px = jnp.zeros((1, pipe.preset.vae.latent_channels, 256, 256))
     lat_768px = jnp.zeros((1, pipe.preset.vae.latent_channels, 384, 384))
-    assert pipe._vae_chunk_for(lat_512px) == pipe.vae_chunk // 4
-    assert 2 <= pipe._vae_chunk_for(lat_768px) < pipe._vae_chunk_for(lat_512px)
+    assert pipe._vae_chunk_for(lat_512px) == pipe.vae_chunk // 8
+    assert 1 <= pipe._vae_chunk_for(lat_768px) < pipe._vae_chunk_for(lat_512px)
