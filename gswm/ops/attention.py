@@ -77,6 +77,43 @@ _KVRES_VMEM_BUDGET = 14 * 1024 * 1024
 # any row that DID exceed the clamp would flatten among its clamped entries.
 _NOMAX_CLAMP = 60.0
 
+_LOG2E = 1.4426950408889634
+
+
+def _base2() -> bool:
+    """GSWM_ATTN_EXP2=1: run the online softmax in base 2 — callers fold
+    log2(e) into the Q scale (``_softmax_scale``) so the kernels can
+    exponentiate with the native ``exp2``, dropping the per-logit ln2
+    multiply that ``exp`` performs internally (the logits matrix has
+    block_k/d = 32x more entries than the Q tile the scale touches).
+    Read at TRACE time: set before the first attention call in a process —
+    the module-level jit caches do not key on it (same contract as
+    GSWM_ATTN_USE_MAX)."""
+    return os.environ.get("GSWM_ATTN_EXP2", "0") == "1"
+
+
+def _softmax_scale(head_dim: int) -> float:
+    """Per-query softmax scale; folds log2(e) in under GSWM_ATTN_EXP2."""
+    return head_dim**-0.5 * (_LOG2E if _base2() else 1.0)
+
+
+def _exp_clamp():
+    """(exp_fn, no-max clamp) in the active softmax base."""
+    if _base2():
+        return jnp.exp2, _NOMAX_CLAMP * _LOG2E
+    return jnp.exp, _NOMAX_CLAMP
+
+
+def _pv_chunks(block_k: int) -> int:
+    """GSWM_ATTN_PV_CHUNKS=n: split the no-max body's exp+PV tail into n
+    column chunks so the VPU exp of chunk j can overlap the MXU PV matmul
+    of chunk j-1 (the QK^T matmul stays full-width for MXU efficiency).
+    1 (default) = the monolithic body.  Read at trace time."""
+    n = int(os.environ.get("GSWM_ATTN_PV_CHUNKS", "1"))
+    if n < 1 or block_k % n:
+        return 1
+    return n
+
 
 def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
                     use_max: bool, seq_k: int | None = None):
@@ -123,16 +160,23 @@ def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
             s = jnp.where(col < valid_k, s, -1e30)
         return s
 
+    exp, clamp = _exp_clamp()
+    n_pv = _pv_chunks(block_k)
+    ck = block_k // n_pv
+
     def body_nomax(kb, carry):
         _, l, acc = carry
         k = k_get(kb)
         v = v_get(kb)
         s = masked(jnp.dot(q, k.T, preferred_element_type=jnp.float32), kb)
-        p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
-        l_new = l + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc + jnp.dot(p.astype(v.dtype), v,
+        for j in range(n_pv):
+            sj = s[:, j * ck:(j + 1) * ck] if n_pv > 1 else s
+            vj = v[j * ck:(j + 1) * ck] if n_pv > 1 else v
+            p = exp(jnp.minimum(sj, clamp))
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jnp.dot(p.astype(v.dtype), vj,
                                 preferred_element_type=jnp.float32)
-        return m0, l_new, acc_new
+        return m0, l, acc
 
     def body_max(kb, carry):
         m, l, acc = carry
@@ -141,8 +185,8 @@ def _attend_kv_loop(q, k_ref, v_ref, *, block_k: int, valid_k: int,
         s = masked(jnp.dot(q, k.T, preferred_element_type=jnp.float32), kb)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         # s - m_new <= 0 so exp lands in [0,1]; bf16 weights cost <0.4%.
-        p = jnp.exp(s - m_new).astype(p_dtype)
-        alpha = jnp.exp(m - m_new)
+        p = exp(s - m_new).astype(p_dtype)
+        alpha = exp(m - m_new)
         l_new = l * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
                                     keepdims=True)
         acc_new = acc * alpha + jnp.dot(
@@ -197,7 +241,7 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, valid_k: int,
                 interpret: bool = False):
     bh, s, d = q.shape
     sk = k.shape[1]
-    scale = d**-0.5
+    scale = _softmax_scale(d)
     itemsize = jnp.dtype(q.dtype).itemsize
     # bf16 model path drops the running max (see _attend_kv_loop); fp32
     # inputs keep the exact recurrence for the parity oracle.
@@ -325,18 +369,19 @@ def _flash_kernel_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             jnp.int32, (block_q, block_k), 1)
         s = jnp.where(col < valid_k, s, -1e30)
     p_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    exp, clamp = _exp_clamp()
     if use_max:
         m = m_ref[:]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new).astype(p_dtype)
-        alpha = jnp.exp(m - m_new)
+        p = exp(s - m_new).astype(p_dtype)
+        alpha = exp(m - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p.astype(jnp.float32), axis=-1,
                                               keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         m_ref[:] = m_new
     else:
-        p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
+        p = exp(jnp.minimum(s, clamp))
         l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -646,7 +691,7 @@ def flash_attention_fused_qkv(x, wq, wk, wv, heads: int, head_dim: int,
         interpret = jax.default_backend() == "cpu"
     b, s, c = x.shape
     inner = heads * head_dim
-    scale = head_dim**-0.5
+    scale = _softmax_scale(head_dim)
     itemsize = jnp.dtype(x.dtype).itemsize
     pad_unit = 256 if s >= 256 else max(128, 1 << (s - 1).bit_length())
     x_pad, s0 = _pad_to(x, 1, pad_unit)
@@ -822,6 +867,7 @@ def _flash_kernel_pair_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     p_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    exp, clamp = _exp_clamp()
     for idx, lo in enumerate((0, head_dim)):  # static unroll: the two heads
         half = slice(lo, lo + head_dim)
         col_l = slice(idx, idx + 1)
@@ -837,15 +883,15 @@ def _flash_kernel_pair_streamk(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
         if use_max:
             m = m_ref[:, col_l]
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new).astype(p_dtype)
-            alpha = jnp.exp(m - m_new)
+            p = exp(s - m_new).astype(p_dtype)
+            alpha = exp(m - m_new)
             l_ref[:, col_l] = l_ref[:, col_l] * alpha + jnp.sum(
                 p.astype(jnp.float32), axis=-1, keepdims=True)
             acc_ref[:, half] = acc_ref[:, half] * alpha + jnp.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
             m_ref[:, col_l] = m_new
         else:
-            p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
+            p = exp(jnp.minimum(s, clamp))
             l_ref[:, col_l] = l_ref[:, col_l] + jnp.sum(p, axis=-1,
                                                         keepdims=True)
             acc_ref[:, half] = acc_ref[:, half] + jnp.dot(
@@ -922,7 +968,7 @@ def flash_attention_packed(qkv, head_dim: int = 64,
     b, s, c3 = qkv.shape
     assert c3 % (3 * 128) == 0 and head_dim == 64, (c3, head_dim)
     pairs = c3 // (3 * 128)
-    scale = head_dim**-0.5
+    scale = _softmax_scale(head_dim)
     use_max = (qkv.dtype != jnp.bfloat16
                or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
     itemsize = jnp.dtype(qkv.dtype).itemsize
@@ -1170,7 +1216,7 @@ def flash_attention_cres(q, k, v, heads: int, head_dim: int,
             f"cres k/v channel count must be a 128 multiple, got {c_kv} — "
             "pad the projection weight columns (see Attention routing)")
     assert inner == heads * head_dim and v.shape == k.shape
-    scale = head_dim**-0.5
+    scale = _softmax_scale(head_dim)
     itemsize = jnp.dtype(q.dtype).itemsize
     use_max = (q.dtype != jnp.bfloat16
                or os.environ.get("GSWM_ATTN_USE_MAX") == "1")
@@ -1299,7 +1345,8 @@ def _flash_kernel_T(qkvT_hbm, o_hbm, q_vmem, o_vmem, k_bufs, v_bufs,
                     preferred_element_type=jnp.float32)      # (bq, bk)
                 if col is not None:
                     s = jnp.where(col < valid_k, s, -1e30)
-                p = jnp.exp(jnp.minimum(s, _NOMAX_CLAMP))
+                exp, clamp = _exp_clamp()
+                p = exp(jnp.minimum(s, clamp))
                 ls_new.append(ls[bi] + jax.lax.dot_general(
                     ones, p, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32))     # (1, bq)
@@ -1396,7 +1443,7 @@ def flash_attention_transposed(qkvT, heads: int, head_dim: int = 64,
     s_pad = qkvT.shape[2]
     bq = min(bq, s_pad)
     bk = min(bk, s_pad)
-    scale = head_dim**-0.5
+    scale = _softmax_scale(head_dim)
 
     kernel = functools.partial(
         _flash_kernel_T, heads=heads, head_dim=head_dim, block_q=bq,
