@@ -137,6 +137,9 @@ def main():
         chain = jax.jit(_chain)
     elif fuse_mid:
         ctx = pipe.empty_context(batch)
+        # SDXL micro-conditioning: _run raises at trace time without it
+        # (mirrors extract_bits / invert, which compute the same default).
+        added = pipe.default_added_cond(batch, res, res)
 
         # params and context are explicit ARGUMENTS: closing over them
         # embeds the 3.5GB fp32 UNet tree as jaxpr constants (r4a run:
@@ -148,7 +151,7 @@ def main():
             z_back = pipe._run(
                 params, latents, ctx, ctx, jnp.float32(1.0),
                 num_steps=steps, scheduler=sched, guidance_mode=False,
-                invert=True,
+                invert=True, added_cond=added,
             )
             bits = recover_message_bits(z_back, cfg)
             return bits, zT[:, 0, 0, 0]

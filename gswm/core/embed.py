@@ -10,7 +10,7 @@ with ``y`` the l-bit window of the ChaCha20-encrypted payload and
 ``u ~ U(0,1)`` from threefry.  The construction is distribution-preserving:
 for y uniform on [0, 2^l) and u uniform on [0,1), (u+y)/2^l is uniform on
 [0,1), so z is exactly N(0,1) — the paper's "performance-lossless" property
-(tested via Kolmogorov–Smirnov in tests/test_embed.py).
+(tested via Kolmogorov–Smirnov in tests/test_embed_decode.py).
 """
 
 from __future__ import annotations

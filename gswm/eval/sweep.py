@@ -41,6 +41,9 @@ class SweepResult:
     bit_accuracy_mean: float
     bit_accuracies: list[float]
     tpr_at_1e6: float
+    # extraction scheduler (extract.py:50-54's --scheduler: DDIM | DPMs);
+    # default matches every pre-round-5 artifact, which was DDIM-only
+    scheduler: str = "DDIM"
 
 
 def _add_texture(images, amp: float, key):
@@ -142,6 +145,7 @@ def run_sweep(
             absolute_strength=0.0,
             bit_accuracy_mean=float(np.mean(accs)), bit_accuracies=accs,
             tpr_at_1e6=tpr_at_fpr(accs, cfg.resolved_message_bits),
+            scheduler=scheduler,
         ))
     for attack in attacks:
         for rel in ((0.0,) if attack == "none" else strengths):
@@ -181,6 +185,7 @@ def run_sweep(
                 bit_accuracy_mean=float(np.mean(accs)),
                 bit_accuracies=accs,
                 tpr_at_1e6=tpr_at_fpr(accs, cfg.resolved_message_bits),
+                scheduler=scheduler,
             ))
     if out_jsonl:
         write_jsonlines((dataclasses.asdict(r) for r in results), out_jsonl)

@@ -1234,6 +1234,14 @@ def flash_attention_cres(q, k, v, heads: int, head_dim: int,
     bq = blocks[0] if block_q is None else block_q
     bk = blocks[1] if block_k is None else block_k
     bq, bk = min(bq, s_pad), min(bk, s_pad)
+    if s_pad % bq or s_pad % bk:
+        # the grid (s_pad // bq) and the fori_loop (seq_k // block_k) floor:
+        # a non-dividing override would silently drop query tiles / tail key
+        # blocks (auto-selection filters for divisibility; only hand-passed
+        # block_q/block_k can reach this).
+        raise ValueError(
+            f"block_q={bq} and block_k={bk} must divide the padded "
+            f"sequence {s_pad}")
     kernel = functools.partial(
         _flash_kernel_cres, heads=heads, head_dim=head_dim, block_k=bk,
         scale=scale, valid_k=s0, use_max=use_max)

@@ -25,6 +25,13 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
     telescopes x0 ~ x_T / sqrt(alpha_T) ~ 14x the unit-Gaussian scale (real
     UNets cancel the noise; random ones do not), so the fit must cover that
     regime for closed-loop runs.  Returns the pipe.
+
+    Trace-time caveat (same contract as the GSWM_ATTN_* knobs): this sets
+    GSWM_VAE_ATTN/GSWM_VAE_REMAT for the duration of the fit, and those are
+    read when a VAE apply is TRACED, not when it runs — any *unrelated* VAE
+    apply first traced inside the fit window (same process, same shapes)
+    caches the chunked/remat trace and keeps serving it after the env is
+    restored.  Run the fit before tracing, or in its own process.
     """
     import os
 

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--preset", default="tiny")
+    # The reference's alternate extraction scheduler (extract.py:50-54,
+    # --scheduler DPMs = 2nd-order DPM-Solver++ inversion); DDIM is its
+    # default and what every pre-round-5 artifact used.
+    ap.add_argument("--scheduler", choices=("DDIM", "DPMs"), default="DDIM")
     ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument("--out", default="benchmarks/robustness_sweep_tiny.jsonl")
     ap.add_argument("--fitted-vae",
@@ -113,7 +117,7 @@ def main():
     print(f"running {len(attacks)} attacks x 5 strengths ...", flush=True)
     results = run_sweep(
         pipe, cfg, batch=args.batch, num_steps=args.steps,
-        attacks=attacks,
+        attacks=attacks, scheduler=args.scheduler,
         out_jsonl=args.out, jpeg=args.jpeg,
         texture_amp=args.texture,
         extract_steps_rows=(50,) if args.fifty_step_row else (),
