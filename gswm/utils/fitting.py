@@ -15,9 +15,54 @@ import jax
 import jax.numpy as jnp
 
 
+def radial_logpsd(img, nbins: int = 16):
+    """Per-image radial log power spectrum, ``nbins`` rings over spatial
+    frequency (rfft2 over H,W; channels pooled).  Returns (B, nbins)."""
+    import jax
+
+    h, w = img.shape[-2:]
+    f = jnp.fft.rfft2(img.astype(jnp.float32))
+    p = jnp.abs(f) ** 2
+    fy = jnp.fft.fftfreq(h)[:, None]
+    fx = jnp.fft.rfftfreq(w)[None, :]
+    r = jnp.sqrt(fy ** 2 + fx ** 2)
+    idx = jnp.clip((r / r.max() * nbins).astype(jnp.int32), 0, nbins - 1)
+    onehot = jax.nn.one_hot(idx, nbins, dtype=jnp.float32)
+    psd = (jnp.einsum("bchw,hwn->bn", p, onehot)
+           / (jnp.sum(onehot, axis=(0, 1)) + 1e-9) / img.shape[1])
+    return jnp.log(psd + 1e-12)
+
+
+def spectral_loss(img, alpha: float = 2.0, nbins: int = 16):
+    """Shape mismatch between the decoded image's radial spectrum and the
+    natural-image 1/f^alpha law (both mean-centered in log space, DC ring
+    excluded — scale-free: only the ALLOCATION across bands is constrained).
+
+    Purpose (VERDICT r4 next #5): the identity-only fit objective selects
+    the smoothest information channel, so the fitted VAE parks watermark
+    information below every value attack's cutoff and the robustness rows
+    saturate at 1.000.  Real SD decoders emit natural-spectrum images; this
+    term is that prior — independent of any attack, so a curve that moves
+    under it is evidence, not circular fitting."""
+    h, w = img.shape[-2:]
+    fy = jnp.fft.fftfreq(h)
+    fx = jnp.fft.rfftfreq(w)
+    r = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
+    # ring-center radii for the target law (same bucketing as radial_logpsd)
+    idx = jnp.clip((r / r.max() * nbins).astype(jnp.int32), 0, nbins - 1)
+    centers = jnp.array([
+        jnp.where(idx == n, r, 0.0).sum() / jnp.maximum(
+            (idx == n).sum(), 1) for n in range(nbins)])
+    target = -alpha * jnp.log(centers[1:] + 1e-12)
+    target = target - target.mean()
+    logpsd = radial_logpsd(img, nbins)[:, 1:]
+    logpsd = logpsd - logpsd.mean(axis=1, keepdims=True)
+    return jnp.mean((logpsd - target[None, :]) ** 2)
+
+
 def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
                       batch: int = 16, lr: float = 1e-3, rng=None,
-                      latent_hw=(8, 8)):
+                      latent_hw=(8, 8), spectral: float = 0.0):
     """Train ``pipe.vae_params`` in place so encode inverts decode at the
     latent scales the pipeline actually produces.
 
@@ -67,7 +112,10 @@ def fit_vae_roundtrip(pipe, scale_range=(8.0, 18.0), steps: int = 600,
     def loss_fn(params, z, scale):
         img = jnp.clip(dec(params, z), -1.0, 1.0)  # generate() clips images
         z_back = enc(params, img)
-        return jnp.mean(((z_back - z) / scale) ** 2)
+        loss = jnp.mean(((z_back - z) / scale) ** 2)
+        if spectral > 0.0:
+            loss = loss + spectral * spectral_loss(img)
+        return loss
 
     opt = optax.adam(lr)
     params = pipe.vae_params

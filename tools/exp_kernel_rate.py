@@ -161,8 +161,11 @@ def child(variant: str) -> None:
     v = (jax.random.normal(k3, (B, S, C_KV)) * 0.3).astype(jnp.bfloat16)
     n = 8
 
+    # k/v are ARGUMENTS, not closure constants: closed-over arrays embed in
+    # the jaxpr and blow the tunnel's remote-compile request-body limit
+    # (HTTP 413 at 2 x 210MB on the first draft of this tool).
     @jax.jit
-    def go(q):
+    def go(q, k, v):
         def body(carry, _):
             o = A.flash_attention_cres(carry, k, v, H, D,
                                        block_q=BQ, block_k=BK)
@@ -174,7 +177,7 @@ def child(variant: str) -> None:
         y, _ = jax.lax.scan(body, q, None, length=n)
         return jnp.float32(y.astype(jnp.float32).sum())
 
-    t = _delta_time(lambda: go(q0)) / n
+    t = _delta_time(lambda: go(q0, k, v)) / n
     flops = QKT_FLOPS if variant == "qkt" else ATT_FLOPS
     print(f"RESULT {t * 1e3:.3f} {flops / t / 1e12:.2f}", flush=True)
 
@@ -253,8 +256,9 @@ def xla_tile_mix() -> float:
     v = jax.random.normal(jax.random.key(3), (bh, BK, D), jnp.bfloat16)
     n = 64
 
+    # k/v as arguments — see child() for the HTTP-413 constant-size trap
     @jax.jit
-    def go(q):
+    def go(q, k, v):
         def body(c, _):
             p = jax.lax.dot_general(
                 c, k, (((2,), (2,)), ((0,), (0,)))).astype(jnp.bfloat16)
@@ -264,7 +268,7 @@ def xla_tile_mix() -> float:
         y, _ = jax.lax.scan(body, q, None, length=n)
         return jnp.float32(y.astype(jnp.float32).sum())
 
-    t = _delta_time(lambda: go(q0)) / n
+    t = _delta_time(lambda: go(q0, k, v)) / n
     flops = 4.0 * bh * BQ * BK * D
     tf = flops / t / 1e12
     print(f"  xla mix @ (512,64)x(64,2048) tiles: {t * 1e3:7.3f} ms/iter  "
@@ -277,18 +281,29 @@ def main() -> None:
         child(sys.argv[2])
         return
 
+    sections = set(sys.argv[1:]) or {"passes", "kernels", "xla"}
+
     import jax
     print(f"devices: {jax.devices()}", flush=True)
     print(f"lvl0 shape b={B} s={S} h={H} d={D}, blocks ({BQ},{BK}); "
           f"attention {ATT_FLOPS / 1e12:.2f} TFLOP/call", flush=True)
 
-    print("VPU pass rates on the (512,2048) fp32 logits tile:", flush=True)
-    passes = pass_rates()
+    passes = {}
+    if "passes" in sections:
+        print("VPU pass rates on the (512,2048) fp32 logits tile:",
+              flush=True)
+        passes = pass_rates()
 
-    print("XLA control:", flush=True)
-    xla_tile_mix()
+    if "kernels" in sections:
+        print("kernel variants (fresh subprocess each):", flush=True)
+        _run_kernels(passes)
 
-    print("kernel variants (fresh subprocess each):", flush=True)
+    if "xla" in sections:
+        print("XLA control:", flush=True)
+        xla_tile_mix()
+
+
+def _run_kernels(passes: dict) -> None:
     rows = {}
     for variant in ("full", "dots", "qkt", "ones"):
         proc = subprocess.run(

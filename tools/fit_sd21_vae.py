@@ -74,6 +74,11 @@ def main():
     # (comma-separated) and exit without fitting.
     ap.add_argument("--check", default=None,
                     help="e.g. --check 64,96,128 (requires --init)")
+    # De-linearization experiment (VERDICT r4 next #5): weight of the
+    # natural-spectrum (1/f^2) realism term on decoded images — forces the
+    # decoder off the all-low-frequency information channel the identity
+    # objective alone selects (gswm.utils.fitting.spectral_loss).
+    ap.add_argument("--spectral", type=float, default=0.0)
     args = ap.parse_args()
 
     import jax
@@ -133,7 +138,7 @@ def main():
         hw, steps, batch, lr = int(hw), int(steps), int(batch), float(lr)
         t0 = time.time()
         fit_vae_roundtrip(pipe, steps=steps, batch=batch, lr=lr,
-                          latent_hw=(hw, hw))
+                          latent_hw=(hw, hw), spectral=args.spectral)
         fid = sign_fidelity(pipe, (hw, hw), batch=fid_batch(hw))
         print(f"stage {hw}x{hw}: {steps} steps batch {batch} lr {lr} "
               f"in {time.time()-t0:.0f}s -> sign fidelity {fid:.4f}",
