@@ -140,7 +140,69 @@ def _loop_ones(q, k_get, v_get, *, block_k, valid_k, use_max, seq_k=None):
     return acc / l
 
 
-_VARIANTS = {"dots": _loop_dots, "qkt": _loop_qkt, "ones": _loop_ones}
+def _loop_dotsb(q, k_get, v_get, *, block_k, valid_k, use_max, seq_k=None):
+    """qkT emitting bf16 DIRECTLY from the MXU -> PV.  vs `dots`: isolates
+    the explicit fp32->bf16 relayout cast of the logits tile."""
+    import jax
+    import jax.numpy as jnp
+    block_q, d = q.shape
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(kb, acc):
+        k = k_get(kb)
+        v = v_get(kb)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.bfloat16)
+        return acc + jnp.dot(s, v, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, seq_k // block_k, body, acc0)
+    return acc * (1.0 / seq_k)
+
+
+def _loop_fullb(q, k_get, v_get, *, block_k, valid_k, use_max, seq_k=None):
+    """Candidate production fix: bf16 logits end to end.  qkT emits bf16,
+    exp/clamp run on the packed bf16 tile (register-local up/down convert,
+    no cross-vreg relayout), row-sum accumulates into the fp32 l carry."""
+    import jax
+    import jax.numpy as jnp
+    block_q, d = q.shape
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    clamp = jnp.bfloat16(60.0)
+
+    def body(kb, carry):
+        l, acc = carry
+        k = k_get(kb)
+        v = v_get(kb)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.bfloat16)
+        p = jnp.exp(jnp.minimum(s, clamp))
+        l = l + jnp.sum(p, axis=-1, keepdims=True,
+                        dtype=jnp.float32)
+        return l, acc + jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+    l, acc = jax.lax.fori_loop(0, seq_k // block_k, body, (l0, acc0))
+    return acc / l
+
+
+def _loop_pvo(q, k_get, v_get, *, block_k, valid_k, use_max, seq_k=None):
+    """PV only: p is a lane-broadcast bf16 tile (no fp32 cast, no qkT).
+    The bare Mosaic rate of the (512,2048)x(2048,64) PV dot."""
+    import jax
+    import jax.numpy as jnp
+    block_q, d = q.shape
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    qb = q.astype(jnp.bfloat16)
+
+    def body(kb, acc):
+        v = v_get(kb)
+        p = jnp.broadcast_to(qb[:, kb % d][:, None], (block_q, block_k))
+        return acc + jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, seq_k // block_k, body, acc0)
+    return acc * (1.0 / seq_k)
+
+
+_VARIANTS = {"dots": _loop_dots, "qkt": _loop_qkt, "ones": _loop_ones,
+             "dotsb": _loop_dotsb, "fullb": _loop_fullb, "pvo": _loop_pvo}
 
 
 def child(variant: str) -> None:
@@ -178,7 +240,7 @@ def child(variant: str) -> None:
         return jnp.float32(y.astype(jnp.float32).sum())
 
     t = _delta_time(lambda: go(q0, k, v)) / n
-    flops = QKT_FLOPS if variant == "qkt" else ATT_FLOPS
+    flops = QKT_FLOPS if variant in ("qkt", "pvo") else ATT_FLOPS
     print(f"RESULT {t * 1e3:.3f} {flops / t / 1e12:.2f}", flush=True)
 
 
@@ -276,6 +338,38 @@ def xla_tile_mix() -> float:
     return tf
 
 
+def xla_pv_only() -> float:
+    """XLA's bare (512,2048)x(2048,64) PV dot rate: a p->o->p chain where
+    the (512,2048) bf16 p carry is refreshed by a cheap rank-1 broadcast
+    of o so the PV dot is the only real work."""
+    import jax
+    import jax.numpy as jnp
+
+    bh = B * H
+    p0 = jax.random.normal(jax.random.key(4), (bh, BQ, BK), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(5), (bh, BK, D), jnp.bfloat16)
+    n = 64
+
+    @jax.jit
+    def go(p, v):
+        def body(c, _):
+            o = jax.lax.dot_general(c, v, (((2,), (1,)), ((0,), (0,))))
+            c2 = jax.lax.broadcast_in_dim(
+                (o[:, :, :1] * 1e-3).astype(jnp.bfloat16),
+                (bh, BQ, BK), (0, 1, 2))
+            return c2, ()
+
+        y, _ = jax.lax.scan(body, p, None, length=n)
+        return jnp.float32(y.astype(jnp.float32).sum())
+
+    t = _delta_time(lambda: go(p0, v)) / n
+    flops = 2.0 * bh * BQ * BK * D
+    tf = flops / t / 1e12
+    print(f"  xla PV-only @ (512,2048)x(2048,64): {t * 1e3:7.3f} ms/iter  "
+          f"{tf:6.1f} TF/s", flush=True)
+    return tf
+
+
 def main() -> None:
     if sys.argv[1:2] == ["--child"]:
         child(sys.argv[2])
@@ -301,11 +395,15 @@ def main() -> None:
     if "xla" in sections:
         print("XLA control:", flush=True)
         xla_tile_mix()
+        xla_pv_only()
 
 
 def _run_kernels(passes: dict) -> None:
     rows = {}
-    for variant in ("full", "dots", "qkt", "ones"):
+    variants = ("full", "dots", "qkt", "ones", "dotsb", "fullb", "pvo")
+    if os.environ.get("GSWM_KR_VARIANTS"):
+        variants = tuple(os.environ["GSWM_KR_VARIANTS"].split(","))
+    for variant in variants:
         proc = subprocess.run(
             [sys.executable, __file__, "--child", variant],
             env=os.environ, capture_output=True, text=True, timeout=1800)
