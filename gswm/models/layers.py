@@ -262,6 +262,32 @@ class Attention(nn.Module):
         return fused_qkv_attention_fits(
             s, x.shape[-1], self.heads * self.head_dim, self.dtype)
 
+    def _use_xf(self, x) -> bool:
+        """Route self-attention to the plain-XLA flash formulation
+        (gswm.ops.attention.xla_flash_attention)?  Same window as cres
+        (above fused-qkv, lvl0's 4096+ tokens) — but no Pallas at all: the
+        round-5 attribution showed XLA's own fusion emitter schedules the
+        qkT+exp+PV chain 17% faster than the Mosaic kernel (37.30 vs
+        43.57 ms at b160 lvl0, tools/exp_xla_flash.py, docs/BENCH.md) and
+        it needs no k/v channel padding (saves the 320->384 k/v projection
+        overhead) and no VMEM-fit gate.  GSWM_XF_ATTN=0 restores the
+        Pallas tiers."""
+        if os.environ.get("GSWM_XF_ATTN", "1") != "1":
+            return False
+        s = x.shape[1]
+        lo = int(os.environ.get("GSWM_XF_ATTN_MIN_SEQ", "2305"))
+        if s < lo:
+            return False  # fused-qkv window; below that, einsum
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            names = getattr(mesh, "axis_names", ()) or ()
+            for ax in ("tp", "sp"):
+                if ax in names and mesh.shape[ax] > 1:
+                    return False  # head/seq sharding needs the split path
+        except Exception:
+            pass
+        return True
+
     def _use_cres(self, x) -> bool:
         """Route self-attention to the channel-resident kernel
         (gswm.ops.attention.flash_attention_cres)?  Covers the shapes ABOVE
@@ -370,6 +396,22 @@ class Attention(nn.Module):
         # mode) so kernel numerics are testable on the virtual CPU mesh.
         on_device = (jax.default_backend() == "tpu"
                      or os.environ.get("GSWM_FORCE_FLASH") == "1")
+        if (context is None and on_device
+                and wq[1] is None and wk[1] is None and wv[1] is None
+                and self._use_xf(x)):
+            from gswm.ops.attention import xla_flash_attention
+
+            # Three SEPARATE matmuls, each output born in the (B,S,C)
+            # layout the chain consumes — and UNPADDED: unlike the Pallas
+            # tiers there is no 128-lane DMA boundary, so k/v projections
+            # stay at H*D columns (cres pays 320->384, +20% k/v matmul).
+            xd = x.astype(self.dtype)
+            q = jnp.dot(xd, wq[0].astype(self.dtype))
+            k = jnp.dot(xd, wk[0].astype(self.dtype))
+            v = jnp.dot(xd, wv[0].astype(self.dtype))
+            out = xla_flash_attention(q, k, v, self.heads, self.head_dim)
+            wo, bo = ProjWeights(inner, use_bias=True, name="to_out")(inner)
+            return jnp.dot(out, wo.astype(self.dtype)) + bo.astype(self.dtype)
         if (context is None and on_device
                 and wq[1] is None and wk[1] is None and wv[1] is None
                 and self._use_cres(x)):

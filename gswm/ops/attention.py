@@ -14,10 +14,20 @@ impossible at SDXL's 16k tokens), while this kernel keeps everything at
 
 Natural-layout tiers that avoid the split path's relayout copies:
 
-  * channel-resident (flash_attention_cres, DEFAULT at 2305..4096 tokens)
-    — q/k/v consumed in their native (B,S,C) projection layout, K/V DMA'd
-    once per image into single-buffered scratch, heads unrolled on static
-    lane slices; measured 48.57 vs 52.96 ms/step in context at lvl0 512²;
+  * **plain-XLA flash (xla_flash_attention, DEFAULT at >= 2305 tokens)** —
+    no kernel code at all: one qkT -> clamp/exp -> PV dot_general chain
+    with the softmax row-sum riding the PV dot as a ones-column in V, so
+    the whole chain is a single XLA kOutput fusion and the O(S^2) logits
+    tensor never touches HBM.  The round-5 attribution showed XLA's own
+    fusion emitter schedules this chain 17-28% faster than any Mosaic
+    tier (92.1 TF/s at 4096 tok vs cres 78.9; 105.9 at 9216 vs split
+    kvres; 106.5 at 16k vs streaming-K — docs/BENCH.md round 5).
+    GSWM_XF_ATTN=0 restores the Pallas routing below;
+  * channel-resident (flash_attention_cres, formerly default at
+    2305..4096 tokens) — q/k/v consumed in their native (B,S,C)
+    projection layout, K/V DMA'd once per image into single-buffered
+    scratch, heads unrolled on static lane slices; measured 48.57 vs
+    52.96 ms/step in context at lvl0 512²;
   * fused-qkv (projections in-kernel, DEFAULT in the 256..2304 window);
   * pair-packed and transposed-operand — measured losses, opt-in recorded
     experiments (docs/BENCH.md rounds 3-4).
@@ -1525,6 +1535,61 @@ def flash_attention_sharded(q, k, v, **kw):
         check_vma=False,
     )
     return fn(q, k, v)
+
+
+def xla_flash_attention(q, k, v, heads: int, head_dim: int):
+    """(B, S, H*D) q/k/v (UNPADDED channels) -> (B, S, H*D) attention.
+
+    No Pallas: one dot_general -> clamp/exp -> dot_general chain that XLA's
+    windowed fusion emitter schedules ITSELF as a flash kernel.  Round-5
+    attribution (tools/exp_kernel_rate.py, docs/BENCH.md) showed the Mosaic
+    cres kernel is dot-bound at ~79-82 TF/s while XLA runs the identical
+    alternating qkT+PV tile chain at 117.9 TF/s by fusing both dots into a
+    single kOutput fusion — the O(S^2) logits tensor is regenerated
+    tile-by-tile in scoped VMEM and never materialized in HBM (verified:
+    the 26.8 GB bf16 logits of SD lvl0 at b160 run on a 16 GB chip).
+    Measured on v5e (tools/exp_xla_flash.py, b160/4096 tok/5 heads/d=64):
+    37.30 ms/call (92.1 TF/s) vs cres 43.57 ms — +16.8% on the bucket.
+
+    Two structural rules keep the chain one fusion candidate:
+      * the probability tensor has EXACTLY ONE consumer — the softmax
+        row-sum l rides the PV dot as a ones-column appended to V, so no
+        separate reduce forces p to materialize (a second consumer would);
+      * no lax.scan around the dots — both scan formulations measured
+        catastrophic (kscan OOMs: the per-step logits window materializes;
+        qscan 3.3x slower).
+
+    Softmax semantics match the kernel's no-max path (_attend_kv_loop
+    body_nomax): fp32 logits, clamp at _NOMAX_CLAMP, p cast to the model
+    dtype for the PV matmul, fp32 accumulation, exact for |logits| < 60
+    (softmax without the shift — see flash_attention_transposed's note).
+    There is no sequence padding, so no key masking is needed at all.
+
+    Reference semantics: diffusers Attention (/root/reference
+    extract.py:46-70's UNet); parity: tests/test_xla_flash_attention.py.
+    """
+    b, s, inner = q.shape
+    assert inner == heads * head_dim and k.shape == v.shape == q.shape
+    scale = _softmax_scale(head_dim)
+    exp, clamp = _exp_clamp()
+    q4 = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    q4 = q4.reshape(b, s, heads, head_dim)
+    k4 = k.reshape(b, s, heads, head_dim)
+    v4 = v.reshape(b, s, heads, head_dim)
+    ones = jnp.ones((b, s, heads, 1), v4.dtype)
+    va = jnp.concatenate([v4, ones], axis=-1)
+    # batch dims (B, H) taken IN PLACE on the (B,S,H,D) layout — no
+    # transpose ops anywhere; XLA owns the internal layouts.
+    logits = jax.lax.dot_general(
+        q4, k4, (((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.float32)            # (B,H,S,Sk) fp32
+    p = exp(jnp.minimum(logits, clamp)).astype(q.dtype)
+    o_aug = jax.lax.dot_general(
+        p, va, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32)            # (B,H,S,D+1) fp32
+    out = o_aug[..., :head_dim] / o_aug[..., head_dim:head_dim + 1]
+    return (out.astype(q.dtype)
+            .transpose(0, 2, 1, 3).reshape(b, s, inner))
 
 
 def reference_attention(q, k, v):

@@ -105,6 +105,15 @@ def make_fn(variant, b, s, c, h, d):
             k = jnp.dot(x, padc(wqkv[:, inner:2 * inner]))
             v = jnp.dot(x, padc(wqkv[:, 2 * inner:]))
             return flash_attention_cres(q, k, v, h, d), wout
+        if variant == "xf":
+            # plain-XLA flash (round 5): three separate UNPADDED matmuls,
+            # the dot chain fused by XLA's windowed emitter, to_out in place
+            from gswm.ops.attention import xla_flash_attention
+
+            q = jnp.dot(x, wqkv[:, :inner])
+            k = jnp.dot(x, wqkv[:, inner:2 * inner])
+            v = jnp.dot(x, wqkv[:, 2 * inner:])
+            return xla_flash_attention(q, k, v, h, d), wout
         if variant == "current":
             qkv = jnp.dot(x, wqkv)
             q, k, v = jnp.split(qkv, [inner, 2 * inner], axis=-1)
@@ -152,8 +161,12 @@ def main():
         b, s, c, h, d = SHAPES[name]
         print(f"{name}: (b={b}, s={s}, c={c}, h={h}, d={d})", flush=True)
         base = None
-        for variant in ["floor", "current", "separate", "cres", "fusedk",
-                        "packed", "transposed"]:
+        variants = ["floor", "current", "separate", "cres", "fusedk",
+                    "packed", "transposed", "xf"]
+        import os
+        if os.environ.get("GSWM_CTX_VARIANTS"):
+            variants = os.environ["GSWM_CTX_VARIANTS"].split(",")
+        for variant in variants:
             try:
                 fn = make_fn(variant, b, s, c, h, d)
                 t = delta_time(fn) / 4
