@@ -209,45 +209,47 @@ def main():
         "protocol": "per-pass-sync" if sync_each else
                     f"pipelined x{n_iters} passes, fetch-all-at-end",
     }
-    if preset == "sd-2-1-base" and res == 512 and steps == 30:
+    if steps == 30:
         # vs_baseline is against a documented ESTIMATE (the reference
         # publishes no throughput) — the honest headline comparison is the
         # fraction of this chip's own speed-of-light (VERDICT r2 weak #4: a
         # judge reading only this JSON should see both numbers).  Two
-        # ceilings: the naive all-matmul roofline (23.6 TFLOPs/image over
-        # the 162 TFLOP/s sustained rate = 6.9 imgs/sec) and the
-        # attention-aware speed-of-light.  The SOL denominator is MEASURED
-        # by tools/bench_sol.py (VERDICT r3 missing #4) and read from its
-        # committed artifact; the 6.06 fallback is the round-3 arithmetic
-        # derivation (half-MXU ~81 TF/s at head_dim 64), flagged as such.
-        sol_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "benchmarks", "sol_denominators.json")
+        # ceilings per shape, both from benchmarks/flops_audit.json
+        # (tools/flops_audit.py — einsum-truth FLOPs; the round-5 audit
+        # showed XLA cost analysis omits Pallas custom-call dots, so the
+        # older per-shape totals undercounted): the naive all-matmul
+        # roofline (all FLOPs at the measured 174 TF/s chain rate) and the
+        # attention-aware SOL (kernel-routed attention dots at the
+        # measured 116.5 TF/s d=64 mix cap, tools/bench_sol.py).
+        audit_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "flops_audit.json")
         try:
-            with open(sol_path) as f:
-                sol = json.load(f)["sol_512_30step_imgs_per_sec"]
-            out["sol_source"] = "measured (tools/bench_sol.py)"
-        except (OSError, KeyError, ValueError):
-            sol = 6.06
-            out["sol_source"] = "derived arithmetically (unmeasured)"
-        out["pct_of_measured_roofline"] = round(100.0 * value / 6.9, 1)
-        out["pct_of_speed_of_light"] = round(100.0 * value / sol, 1)
-    elif steps == 30:
-        # 768/SDXL rows: % of the naive all-matmul roofline from the XLA
-        # cost-analysis FLOPs (benchmarks/sol_denominators.json) at the
-        # measured 174 TF/s chain rate.  No attention-aware SOL is claimed
-        # at these shapes — the 512 profile tools disagree on the FLOP
-        # split there (docs/BENCH.md round 4).
-        sol_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "benchmarks", "sol_denominators.json")
-        try:
-            with open(sol_path) as f:
-                naive = json.load(f)["naive_roofline_imgs_per_sec_30step"]
-            key = f"{preset}@{res}"
-            if key in naive:
-                out["pct_of_naive_roofline"] = round(
-                    100.0 * value / naive[key], 1)
-        except (OSError, KeyError, ValueError):
-            pass
+            with open(audit_path) as f:
+                rows = json.load(f)["rows"]
+            row = next(r for r in rows
+                       if r["preset"] == preset and r["res"] == res)
+            out["sol_source"] = "measured rates x audited FLOPs " \
+                                "(tools/flops_audit.py)"
+            out["pct_of_naive_roofline"] = round(
+                100.0 * value / row["naive_roofline_imgs_per_sec"], 1)
+            out["pct_of_speed_of_light"] = round(
+                100.0 * value / row["attention_aware_sol_imgs_per_sec"], 1)
+        except (OSError, KeyError, ValueError, StopIteration):
+            # fallback: the pre-audit measured denominator (512 only)
+            if preset == "sd-2-1-base" and res == 512:
+                sol_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "benchmarks", "sol_denominators.json")
+                try:
+                    with open(sol_path) as f:
+                        sol = json.load(f)["sol_512_30step_imgs_per_sec"]
+                    out["sol_source"] = "measured (tools/bench_sol.py)"
+                except (OSError, KeyError, ValueError):
+                    sol = 6.06
+                    out["sol_source"] = ("derived arithmetically "
+                                         "(unmeasured)")
+                out["pct_of_speed_of_light"] = round(100.0 * value / sol, 1)
     print(json.dumps(out))
 
 

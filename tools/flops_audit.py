@@ -117,7 +117,14 @@ def _child(preset: str, res: int) -> None:
     t = jnp.asarray([500], jnp.int32)
     ctx = jnp.zeros((1, preset_cfg.text.max_length,
                      preset_cfg.unet.cross_attn_dim), jnp.float32)
-    lowered = jax.jit(unet.apply).lower(params, x, t, ctx)
+    added = None
+    if preset_cfg.unet.addition_embed_dim:
+        # SDXL micro-conditioning (shapes only — FLOP counting needs no
+        # real pooled text): text_embeds = addition_embed_dim - 6*256 dims.
+        pooled = preset_cfg.unet.addition_embed_dim - 6 * 256
+        added = {"text_embeds": jnp.zeros((1, pooled), jnp.float32),
+                 "time_ids": jnp.zeros((1, 6), jnp.float32)}
+    lowered = jax.jit(unet.apply).lower(params, x, t, ctx, added)
     cost = lowered.cost_analysis()
     if cost is None:  # this jax version only reports post-compile
         cost = lowered.compile().cost_analysis()
