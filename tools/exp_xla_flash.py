@@ -114,6 +114,29 @@ def xf_whole(q, k, v):
     return _finish(o_aug)
 
 
+def xf_wholeb(q, k, v):
+    """bf16-exp variant: logits cast to bf16 BEFORE clamp/exp, so the VPU
+    elementwise phase runs on half-width lanes (2x elem rate if packed).
+    The round-5 decomposition (docs/BENCH.md) shows the fused exp adds
+    ~8 ms/call over the cast-only control — the only remaining in-chain
+    residual.  PRECISION: bf16 logits carry ~2-3 significant digits, so p
+    has O(1%) relative error at typical |logits|<10 — fine for the
+    sign-based decode, NOT parity-exact; env-gated experiment only."""
+    import jax
+    import jax.numpy as jnp
+    q4, k4, v4 = _split_heads(q, k, v)
+    va = _aug(v4)
+    s = jax.lax.dot_general(
+        q4, k4, (((3,), (3,)), ((0, 2), (0, 2))),
+        preferred_element_type=jnp.float32)
+    sb = jnp.minimum(s, CLAMP).astype(jnp.bfloat16)
+    p = jnp.exp(sb)
+    o_aug = jax.lax.dot_general(
+        p, va, (((3,), (1,)), ((0, 1), (0, 2))),
+        preferred_element_type=jnp.float32)
+    return _finish(o_aug)
+
+
 def xf_kscan(q, k, v, block_k=2048):
     import jax
     import jax.numpy as jnp
@@ -166,7 +189,8 @@ def xf_qscan(q, k, v, block_q=512):
     return _finish(o_aug)
 
 
-_VARIANTS = {"whole": xf_whole, "kscan": xf_kscan, "qscan": xf_qscan}
+_VARIANTS = {"whole": xf_whole, "wholeb": xf_wholeb, "kscan": xf_kscan,
+             "qscan": xf_qscan}
 
 
 def child(variant: str) -> None:
