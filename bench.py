@@ -34,6 +34,49 @@ import time
 REFERENCE_ESTIMATE_IMGS_PER_SEC = 0.8
 
 
+def grade_against_rooflines(out: dict, preset: str, res: int,
+                            value: float) -> None:
+    """Add pct_of_naive_roofline / pct_of_speed_of_light to a bench row.
+
+    vs_baseline is against a documented ESTIMATE (the reference publishes
+    no throughput, SURVEY.md §6) — the honest headline comparison is the
+    fraction of this chip's own speed-of-light (VERDICT r2 weak #4: a
+    judge reading only this JSON should see both numbers).  Two ceilings
+    per shape, both from benchmarks/flops_audit.json (tools/flops_audit.py
+    — einsum-truth FLOPs; the round-5 audit showed XLA cost analysis omits
+    Pallas custom-call dots, so the older per-shape totals undercounted):
+    the naive all-matmul roofline (all FLOPs at the measured 174 TF/s
+    chain rate) and the attention-aware SOL (kernel-routed attention dots
+    at the measured 116.5 TF/s d=64 mix cap, tools/bench_sol.py)."""
+    audit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "flops_audit.json")
+    try:
+        with open(audit_path) as f:
+            rows = json.load(f)["rows"]
+        row = next(r for r in rows
+                   if r["preset"] == preset and r["res"] == res)
+        out["sol_source"] = ("measured rates x audited FLOPs "
+                             "(tools/flops_audit.py)")
+        out["pct_of_naive_roofline"] = round(
+            100.0 * value / row["naive_roofline_imgs_per_sec"], 1)
+        out["pct_of_speed_of_light"] = round(
+            100.0 * value / row["attention_aware_sol_imgs_per_sec"], 1)
+    except (OSError, KeyError, ValueError, StopIteration):
+        # fallback: the pre-audit measured denominator (512 only)
+        if preset == "sd-2-1-base" and res == 512:
+            sol_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks", "sol_denominators.json")
+            try:
+                with open(sol_path) as f:
+                    sol = json.load(f)["sol_512_30step_imgs_per_sec"]
+                out["sol_source"] = "measured (tools/bench_sol.py)"
+            except (OSError, KeyError, ValueError):
+                sol = 6.06
+                out["sol_source"] = "derived arithmetically (unmeasured)"
+            out["pct_of_speed_of_light"] = round(100.0 * value / sol, 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -210,46 +253,7 @@ def main():
                     f"pipelined x{n_iters} passes, fetch-all-at-end",
     }
     if steps == 30:
-        # vs_baseline is against a documented ESTIMATE (the reference
-        # publishes no throughput) — the honest headline comparison is the
-        # fraction of this chip's own speed-of-light (VERDICT r2 weak #4: a
-        # judge reading only this JSON should see both numbers).  Two
-        # ceilings per shape, both from benchmarks/flops_audit.json
-        # (tools/flops_audit.py — einsum-truth FLOPs; the round-5 audit
-        # showed XLA cost analysis omits Pallas custom-call dots, so the
-        # older per-shape totals undercounted): the naive all-matmul
-        # roofline (all FLOPs at the measured 174 TF/s chain rate) and the
-        # attention-aware SOL (kernel-routed attention dots at the
-        # measured 116.5 TF/s d=64 mix cap, tools/bench_sol.py).
-        audit_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "benchmarks", "flops_audit.json")
-        try:
-            with open(audit_path) as f:
-                rows = json.load(f)["rows"]
-            row = next(r for r in rows
-                       if r["preset"] == preset and r["res"] == res)
-            out["sol_source"] = "measured rates x audited FLOPs " \
-                                "(tools/flops_audit.py)"
-            out["pct_of_naive_roofline"] = round(
-                100.0 * value / row["naive_roofline_imgs_per_sec"], 1)
-            out["pct_of_speed_of_light"] = round(
-                100.0 * value / row["attention_aware_sol_imgs_per_sec"], 1)
-        except (OSError, KeyError, ValueError, StopIteration):
-            # fallback: the pre-audit measured denominator (512 only)
-            if preset == "sd-2-1-base" and res == 512:
-                sol_path = os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "benchmarks", "sol_denominators.json")
-                try:
-                    with open(sol_path) as f:
-                        sol = json.load(f)["sol_512_30step_imgs_per_sec"]
-                    out["sol_source"] = "measured (tools/bench_sol.py)"
-                except (OSError, KeyError, ValueError):
-                    sol = 6.06
-                    out["sol_source"] = ("derived arithmetically "
-                                         "(unmeasured)")
-                out["pct_of_speed_of_light"] = round(100.0 * value / sol, 1)
+        grade_against_rooflines(out, preset, res, value)
     print(json.dumps(out))
 
 
