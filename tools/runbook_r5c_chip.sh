@@ -33,6 +33,15 @@ run() {
   return 1
 }
 
+# 0. Retry the 96/128 VAE refinement stages that OOM'd in runbook_r5
+#    (582MB HLO-temp at 96x96 batch 4; halve the batches), starting from
+#    the committed 64-stage identity fit, then the fidelity report.
+run fit_vae_96 7200 python tools/fit_sd21_vae.py \
+  --init benchmarks/fitted_vae_sd21arch.msgpack \
+  --stages 96:120:2:6e-5,128:80:1:4e-5 \
+&& run vae_check 1800 python tools/fit_sd21_vae.py \
+  --init benchmarks/fitted_vae_sd21arch.msgpack --check 64,96,128
+
 run xf_wholeb_512 2400 env GSWM_XF_VARIANTS=whole,wholeb \
   python tools/exp_xla_flash.py
 
