@@ -1583,7 +1583,16 @@ def xla_flash_attention(q, k, v, heads: int, head_dim: int):
     logits = jax.lax.dot_general(
         q4, k4, (((3,), (3,)), ((0, 2), (0, 2))),
         preferred_element_type=jnp.float32)            # (B,H,S,Sk) fp32
-    p = exp(jnp.minimum(logits, clamp)).astype(q.dtype)
+    if os.environ.get("GSWM_XF_BF16_EXP") == "1":
+        # wholeb experiment (trace-time knob, default OFF): cast the
+        # clamped logits to bf16 BEFORE the exp so the VPU elementwise
+        # phase runs on half-width lanes.  bf16 logits carry ~2-3
+        # significant digits -> p has O(1%) relative error — fine for
+        # sign-based decode, NOT parity-exact (tools/exp_xla_flash.py
+        # xf_wholeb; docs/BENCH.md round-5 exp-residual decomposition).
+        p = exp(jnp.minimum(logits, clamp).astype(jnp.bfloat16))
+    else:
+        p = exp(jnp.minimum(logits, clamp)).astype(q.dtype)
     o_aug = jax.lax.dot_general(
         p, va, (((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.float32)            # (B,H,S,D+1) fp32

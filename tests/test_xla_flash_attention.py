@@ -98,3 +98,30 @@ def test_routing_prefers_xf(monkeypatch):
     monkeypatch.setenv("GSWM_XF_ATTN", "0")
     attn.apply(params, x)
     assert not calls
+
+
+def test_bf16_exp_knob(monkeypatch):
+    """GSWM_XF_BF16_EXP=1 (the r5c wholeb experiment as a trace-time knob,
+    default OFF): bf16 logits before the exp.  O(1%) relative error vs the
+    fp32-exp formulation — close, sign-preserving on the output, and OFF
+    means bit-identical to the default path."""
+    b, s, h, d = 1, 320, 2, 64
+    q, k, v = _make(b, s, h, d, key=2)  # fp32: the default path keeps p fp32
+
+    base = jax.jit(xla_flash_attention, static_argnums=(3, 4))(q, k, v, h, d)
+    monkeypatch.setenv("GSWM_XF_BF16_EXP", "1")
+    # fresh trace: the knob is read at trace time
+    # fresh function identity: jit's trace cache is shared across wrapper
+    # instances of the same function, so a plain re-jit would reuse the
+    # knob-off jaxpr
+    lowered = jax.jit(
+        lambda q, k, v: xla_flash_attention(q, k, v, h, d)).lower(q, k, v)
+    assert "bf16" in lowered.as_text()  # the knob actually changed the trace
+    wb = lowered.compile()(q, k, v)
+    a = np.asarray(base)
+    bw = np.asarray(wb)
+    np.testing.assert_allclose(bw, a, atol=6e-2)
+    # relative error stays O(1%) where the output is not tiny
+    mask = np.abs(a) > 0.1
+    rel = np.abs(bw[mask] - a[mask]) / np.abs(a[mask])
+    assert float(np.median(rel)) < 0.02
